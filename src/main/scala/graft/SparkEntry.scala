@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.kernel.SearchKernels.SearchParams
+import graft.spark._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `entry` runs the flagship extract -> snapshot-commit -> search pipeline
+  * (SURVEY.md §3.1) end-to-end on sf0.001; `queries`/`oracleSql` expose the
+  * operator inventory with DuckDB oracles (graft.spark.Queries).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: synthesize a Common-Crawl-style pages table from sf0.001
+    * documents, extract through the snapshot-logged ExtractJob (resume path
+    * included — the second run would be a no-op), then search the extracted
+    * corpus for a keyword (F6) and return the matched urls.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val tableDir = "target/entry_extracted"
+    deleteRecursively(new java.io.File(tableDir))
+    val pages = Synth.pagesFromDocuments(spark, sfDir)
+    ExtractJob.run(spark, pages, tableDir, numBuckets = 32)
+    val extracted = ExtractJob.readExtracted(spark, tableDir)
+    SearchJob.matches(extracted, SearchParams(any = Some("data")))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the training-data
+    * extensions); see graft.spark.Queries for the inventory.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.registry
+
+  /** DuckDB-runnable oracle SQL for every SQL-expressible query (same column
+    * names/types as the Spark side; kernel-only operators omitted -> rows-only).
+    */
+  def oracleSql: Map[String, String] = Queries.sqlOracles
 }

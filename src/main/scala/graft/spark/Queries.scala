@@ -1,0 +1,366 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernel.SearchKernels
+
+/** The driver-facing operator registry (SparkEntry.queries / oracleSql).
+  *
+  * Every SQL-expressible operator ships with a DuckDB oracle over the same
+  * parquet tables (SURVEY.md §5.4); kernel-only operators (Python-regex/difflib/
+  * OCR fidelity) are rows-only here and get byte-identity coverage in the
+  * ScalaTest suites instead. Column names/types are aligned on both sides
+  * (aggregates cast to bigint — DuckDB's sum() widens to hugeint otherwise;
+  * doubles avoided everywhere; every query ORDER BYs a key).
+  *
+  * The x-queries run the real pipeline: Synth.pagesFromDocuments builds payloads
+  * whose kind is a pure function of doc_id, the extraction kernel runs inside
+  * ExtractJob.extractDF (mapPartitions), and the oracle reproduces the expected
+  * text relationally from `documents`.
+  */
+object Queries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def docIdFromUrl = regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long")
+
+  private def flat(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** pages -> extracted, with doc_id recovered from the url. */
+  private def extractedWithDocId(s: SparkSession, dir: String): DataFrame =
+    ExtractJob.extractDF(Synth.pagesFromDocuments(s, dir), numBuckets = 32)
+      .withColumn("doc_id", docIdFromUrl)
+
+  // DuckDB-side flattened text of a documents row
+  private val sqlFlat = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+  private val sqlFirst8 =
+    "array_to_string(list_slice(string_split(upper(text), ' '), 1, 8), ' ')"
+
+  val sqlOracles: Map[String, String] = Map(
+    "x02_html_extract" ->
+      s"""SELECT doc_id, CASE WHEN n_chars >= 25 THEN $sqlFlat ELSE '' END AS text_out
+         |FROM documents WHERE doc_id % 20 <= 12 ORDER BY doc_id""".stripMargin,
+    "x03_pdf_layout" ->
+      s"""SELECT doc_id, $sqlFlat AS text_out FROM documents
+         |WHERE doc_id % 20 BETWEEN 14 AND 16 AND n_chars >= 50 ORDER BY doc_id""".stripMargin,
+    "x04_ocr_decode" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 20 >= 17 THEN $sqlFirst8 ELSE '' END AS text_out
+         |FROM documents
+         |WHERE (doc_id % 20 BETWEEN 14 AND 16 AND n_chars < 50) OR doc_id % 20 IN (17, 18)
+         |ORDER BY doc_id""".stripMargin,
+    "x05_extract_all" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN doc_id % 20 <= 12 THEN 'html'
+         |       WHEN doc_id % 20 = 13 THEN 'text'
+         |       WHEN doc_id % 20 <= 16 THEN
+         |         CASE WHEN n_chars >= 50 THEN 'pdf_digital' ELSE 'pdf_scanned' END
+         |       WHEN doc_id % 20 <= 18 THEN 'pdf_scanned'
+         |       ELSE 'empty' END AS kind,
+         |  CASE WHEN doc_id % 20 <= 12 THEN
+         |         CASE WHEN n_chars >= 25 THEN $sqlFlat ELSE '' END
+         |       WHEN doc_id % 20 = 13 THEN $sqlFlat
+         |       WHEN doc_id % 20 <= 16 THEN
+         |         CASE WHEN n_chars >= 50 THEN $sqlFlat ELSE '' END
+         |       WHEN doc_id % 20 <= 18 THEN $sqlFirst8
+         |       ELSE '' END AS flat_text
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s01_vin_normalize" ->
+      """SELECT doc_id, translate(upper(text), 'OQI', '001') AS vin_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s02_search_any" ->
+      """SELECT doc_id FROM documents WHERE position('data' IN text) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "s03_dealer_extract" ->
+      """SELECT doc_id,
+        |  regexp_replace(trim(regexp_extract(
+        |    'Claim Dealer: ' || source || ' ' || CAST(doc_id AS VARCHAR),
+        |    '(?i)dealer[:;\s#]*([^\n\r]+)', 1)), '\s*\d+\s*$', '') AS dealer
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s04_keyword_nums" ->
+      """SELECT doc_id,
+        |  array_to_string(regexp_extract_all(
+        |    'ref 12345 Contract no ' || CAST(100000 + doc_id AS VARCHAR) || ' and 999 end',
+        |    '\d{6,}', 0), ',') AS nums
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s05_search_multi" ->
+      """SELECT doc_id FROM documents
+        |WHERE position('merge' IN text) > 0 OR regexp_matches(text, '(?i)window')
+        |   OR n_chars > 500
+        |ORDER BY doc_id""".stripMargin,
+    "a01_success_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS ok,
+        |  CAST(sum(CASE WHEN doc_id % 20 = 19 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  count(*) > 0 AS passed
+        |FROM documents""".stripMargin,
+    "a02_lineage" ->
+      """SELECT doc_id % 32 AS bucket, CAST(count(*) AS BIGINT) AS doc_count,
+        |  CAST(sum(n_chars) AS BIGINT) AS byte_count,
+        |  CAST(bit_xor(doc_id * n_chars) AS BIGINT) AS checksum
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a03_host_stats" ->
+      """SELECT CASE WHEN doc_id % 16 < 8 THEN 0 WHEN doc_id % 16 < 12 THEN 1
+        |            WHEN doc_id % 16 < 14 THEN 2 ELSE doc_id % 16 END AS host,
+        |  CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY host""".stripMargin,
+    "a04_events_by_type" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "a05_window_rank" ->
+      """SELECT user_id, event_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "j01_semi_join" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "j02_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "t01_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "t02_dedup_exact" ->
+      """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    "t03_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_quality_counts" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS BIGINT) AS n_the
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m01_binary_meta" ->
+      """SELECT doc_id, 'GRAS' AS fmt,
+        |  CAST(13 + (16 + doc_id % 16) * 8 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extraction pipeline (kernel inside mapPartitions; SURVEY §2.2) ----
+    "x02_html_extract" -> ((s, dir) => {
+      extractedWithDocId(s, dir)
+        .filter(col("kind") === "html")
+        .select(col("doc_id"), flat(col("text")).as("text_out"))
+        .orderBy("doc_id")
+    }),
+    "x03_pdf_layout" -> ((s, dir) => {
+      extractedWithDocId(s, dir)
+        .filter(col("kind") === "pdf_digital")
+        .select(col("doc_id"), flat(col("text")).as("text_out"))
+        .orderBy("doc_id")
+    }),
+    "x04_ocr_decode" -> ((s, dir) => {
+      extractedWithDocId(s, dir)
+        .filter(col("kind") === "pdf_scanned")
+        .select(col("doc_id"), flat(col("text")).as("text_out"))
+        .orderBy("doc_id")
+    }),
+    "x05_extract_all" -> ((s, dir) => {
+      extractedWithDocId(s, dir)
+        .select(col("doc_id"), col("kind"), flat(col("text")).as("flat_text"))
+        .orderBy("doc_id")
+    }),
+    // ---- search kernels, relational forms (SURVEY §2.3) ----
+    "s01_vin_normalize" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"), Functions.vinNormalize(col("text")).as("vin_norm"))
+        .orderBy("doc_id")
+    }),
+    "s02_search_any" -> ((s, dir) => {
+      docs(s, dir).filter(Functions.searchAny(col("text"), "data"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+    "s03_dealer_extract" -> ((s, dir) => {
+      val line = concat(lit("Claim Dealer: "), col("source"), lit(" "),
+        col("doc_id").cast("string"))
+      docs(s, dir).select(col("doc_id"),
+        regexp_replace(trim(regexp_extract(line, "(?i)dealer[:;\\s#]*([^\\n\\r]+)", 1)),
+          "\\s*\\d+\\s*$", "").as("dealer"))
+        .orderBy("doc_id")
+    }),
+    "s04_keyword_nums" -> ((s, dir) => {
+      val line = concat(lit("ref 12345 Contract no "),
+        (col("doc_id") + 100000).cast("string"), lit(" and 999 end"))
+      docs(s, dir).select(col("doc_id"),
+        array_join(regexp_extract_all(line, lit("\\d{6,}"), lit(0)), ",").as("nums"))
+        .orderBy("doc_id")
+    }),
+    "s05_search_multi" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(col("text").contains("merge") || col("text").rlike("(?i)window") ||
+          col("n_chars") > 500)
+        .select("doc_id").orderBy("doc_id")
+    }),
+    // ---- aggregates / lineage / gate (SURVEY §2.4, §2.9) ----
+    "a01_success_gate" -> ((s, dir) => {
+      ExtractJob.extractDF(Synth.pagesFromDocuments(s, dir), 32)
+        .agg(
+          count(lit(1)).as("total"),
+          count(when(col("ok"), 1)).as("ok"),
+          count(when(col("kind") === "empty", 1)).as("n_empty"))
+        .select(col("total"), col("ok"), col("n_empty"),
+          (col("ok") >= col("total") * ExtractJob.SuccessRatio).as("passed"))
+    }),
+    "a02_lineage" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy((col("doc_id") % 32).as("bucket"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum("n_chars").cast("long").as("byte_count"),
+          expr("bit_xor(doc_id * n_chars)").cast("long").as("checksum"))
+        .orderBy("bucket")
+    }),
+    "a03_host_stats" -> ((s, dir) => {
+      // explicit skew handling: Zipf-ish host key, salted two-phase aggregate
+      val host = when(col("doc_id") % 16 < 8, lit(0L))
+        .when(col("doc_id") % 16 < 12, lit(1L))
+        .when(col("doc_id") % 16 < 14, lit(2L))
+        .otherwise(col("doc_id") % 16)
+      val keyed = docs(s, dir).withColumn("host", host)
+      Skew.twoPhaseAgg(keyed, "host", "doc_id", Seq(("n_chars", "sum_chars")))
+        .select(col("host"), col("cnt"), col("sum_chars").cast("long").as("sum_chars"))
+        .orderBy("host")
+    }),
+    "a04_events_by_type" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).cast("long").as("cents"))
+        .orderBy("event_type")
+    }),
+    "a05_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), col("event_id"),
+          row_number().over(w).cast("long").as("rn"))
+        .orderBy("user_id", "event_id")
+    }),
+    // ---- joins (SURVEY §2.5: J1 semi = the copy step; C2 anti = resume) ----
+    "j01_semi_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"), "left_semi")
+        .select("o_orderkey").orderBy("o_orderkey")
+    }),
+    "j02_anti_join" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet").select("o_custkey")
+      s.read.parquet(s"$dir/customer.parquet")
+        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")
+    }),
+    "q1_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).cast("long").as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).cast("long")
+            .as("sum_price_cents"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // ---- training-data ops ----
+    "t01_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    "t02_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+        .select(col("fp"), col("keep_id").cast("long").as("keep_id"), col("n"))
+        .orderBy("fp")
+    }),
+    "t03_token_count" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+    "t04_quality_counts" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(filter(split(col("text"), " "), x => x === "the")).cast("long").as("n_the"))
+        .orderBy("doc_id")
+    }),
+    "m01_binary_meta" -> ((s, dir) => {
+      // multimodal plumbing: opaque binary column + typed metadata extraction;
+      // the decode step is a deterministic fake (builder brief: no image libs
+      // in-sandbox), the schema/partitioning/batching are real
+      val mk = udf((id: Long) => {
+        val w = 16 + (id % 16).toInt
+        val h = 8
+        graft.kernel.Raster.writeGray(w, h, new Array[Byte](w * h))
+      })
+      docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+        .select(col("doc_id"),
+          substring(col("payload"), 1, 4).cast("string").as("fmt"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
+    // ---- rows-only (kernel fidelity covered by ScalaTest byte-identity) ----
+    "k01_vin_candidates" -> ((s, dir) => {
+      val text2 = concat(col("text"), lit(" VIN: 1HGCM82633A"),
+        (col("doc_id") % 900000 + 100000).cast("string"))
+      docs(s, dir).select(col("doc_id"),
+        Functions.vinCandidatesUdf(text2).as("cands"))
+        .select(col("doc_id"), explode(col("cands")).as("vin"))
+        .orderBy("doc_id", "vin")
+    }),
+    "k02_search_flags" -> ((s, dir) => {
+      val text2 = concat(col("text"),
+        lit("\nContract # "), (col("doc_id") + 700000).cast("string"),
+        lit("\nDealer: Quality Motors 42\nVIN: 1HGCM82633A123456\n"))
+      docs(s, dir).select(col("doc_id"),
+        Functions.keywordNumberHitUdf(text2, lit("Contract"),
+          (col("doc_id") + 700000).cast("string")).as("m_contract"),
+        Functions.dealerHitUdf(text2, lit("quality motors")).as("m_dealer"),
+        Functions.vinHitUdf(text2, lit("1HGCM82633A123456")).as("m_vin"),
+        text2.contains("data").as("m_any"))
+        .orderBy("doc_id")
+    }),
+    "k03_fuzzy_ratio" -> ((s, dir) => {
+      val a = Functions.vinNormalize(substring(col("text"), 1, 20))
+      val b = Functions.vinNormalize(substring(col("text"), 3, 20))
+      docs(s, dir).select(col("doc_id"),
+        (Functions.roRatioUdf(a, b) * 1000000).cast("long").as("ratio_ppm"))
+        .orderBy("doc_id")
+    }),
+    "t05_lang_id" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), Functions.langIdUdf(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "t06_minhash_sig" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        element_at(Functions.minHashUdf(col("text")), 1).as("sig0"),
+        element_at(Functions.lshBandsUdf(col("text")), 1).as("band0"),
+        Functions.simHashUdf(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+    "t07_neardup_pairs" -> ((s, dir) => {
+      val corpus = Dedup.withInjectedNearDups(s, docs(s, dir), "doc_id", "text")
+      Dedup.minHashPairs(corpus, "doc_id", "text", minJaccard = 0.5)
+        .orderBy("a", "b")
+    }),
+    "e01_embed_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      Embeddings.bruteForceTopK(emb, q, 10)
+        .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
+    }),
+    "e02_embed_lsh" -> ((s, dir) => {
+      Embeddings.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("vec_id")
+    })
+  )
+}

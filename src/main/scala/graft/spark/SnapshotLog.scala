@@ -1,0 +1,108 @@
+package graft.spark
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** §2.9 / §7.3 — Iceberg-lite snapshot log: parquet data files under an
+  * append-only manifest with an atomically-swapped current pointer.
+  *
+  * The reference commits one JSON file per batch (`extractor.py:119-122`) and
+  * resumes by skipping already-processed documents
+  * (`extraction_errors.log:1-2`, cache probe `claim.py:17-20,34`). Here the unit
+  * of commit is a *snapshot*: data files are written first (invisible until
+  * referenced), then a manifest file `meta/snap-<id>.txt` listing every live data
+  * file is written, then `meta/current` is atomically renamed into place. A crash
+  * at any point leaves either the old snapshot or the new one — never a torn
+  * table — and orphan data files are harmless because scans only read
+  * manifest-listed files (the Iceberg commit protocol, re-implemented because no
+  * Iceberg runtime jar exists offline; same observable semantics: snapshot
+  * commit, resume, per-partition lineage).
+  *
+  * Manifest format (one record per line, tab-separated):
+  * {{{
+  *   snapshot <id> parent <parentId>
+  *   file <relative/path.parquet>
+  * }}}
+  */
+final class SnapshotLog(tableDir: String) {
+
+  private val root: Path = Paths.get(tableDir)
+  private val metaDir: Path = root.resolve("meta")
+  private val currentPtr: Path = metaDir.resolve("current")
+
+  def dataDir(snapshotId: Long): Path = root.resolve(s"data/snap-$snapshotId")
+
+  /** Last committed snapshot id, if any. */
+  def currentSnapshot(): Option[Long] =
+    if (Files.exists(currentPtr)) Some(Files.readString(currentPtr).trim.toLong)
+    else None
+
+  /** All live data files (absolute paths) in the current snapshot. */
+  def currentFiles(): Seq[String] = currentSnapshot() match {
+    case None => Seq.empty
+    case Some(id) =>
+      Files.readAllLines(manifestPath(id)).asScala.toSeq.collect {
+        case line if line.startsWith("file\t") =>
+          root.resolve(line.split('\t')(1)).toString
+      }
+  }
+
+  private def manifestPath(id: Long): Path = metaDir.resolve(s"snap-$id.txt")
+
+  /** Stage a directory for new data files; caller writes parquet beneath it. */
+  def stageDataDir(snapshotId: Long): String = {
+    val d = dataDir(snapshotId)
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  /** List the parquet part files a staged write produced. */
+  def stagedFiles(snapshotId: Long): Seq[Path] = {
+    val d = dataDir(snapshotId)
+    if (!Files.exists(d)) Seq.empty
+    else Files.walk(d).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+  }
+
+  /** Commit: new snapshot = parent's live files + newly staged files.
+    * Write manifest, then atomically swap the current pointer.
+    */
+  def commit(snapshotId: Long): Long = {
+    val parent = currentSnapshot().getOrElse(-1L)
+    require(snapshotId > parent, s"snapshot $snapshotId must be > parent $parent")
+    Files.createDirectories(metaDir)
+    val keep = currentFiles().map(f => root.relativize(Paths.get(f)).toString)
+    val fresh = stagedFiles(snapshotId).map(p => root.relativize(p).toString)
+    val lines =
+      Seq(s"snapshot\t$snapshotId\tparent\t$parent") ++
+        (keep ++ fresh).map(f => s"file\t$f")
+    val tmp = metaDir.resolve(s"snap-$snapshotId.txt.tmp")
+    Files.writeString(tmp, lines.mkString("\n") + "\n")
+    Files.move(tmp, manifestPath(snapshotId), StandardCopyOption.ATOMIC_MOVE)
+    val ptrTmp = metaDir.resolve("current.tmp")
+    Files.writeString(ptrTmp, snapshotId.toString)
+    Files.move(ptrTmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    snapshotId
+  }
+
+  /** Abort a staged (uncommitted) snapshot: delete its data directory. */
+  def abort(snapshotId: Long): Unit = {
+    val d = dataDir(snapshotId)
+    if (Files.exists(d))
+      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Next snapshot id (monotonic; ids are logical, no wall-clock — SURVEY §5). */
+  def nextSnapshotId(): Long = currentSnapshot().getOrElse(-1L) + 1L
+
+  /** Scan the current snapshot as a DataFrame (empty-but-typed when no commit). */
+  def scan(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    val files = currentFiles()
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+}
