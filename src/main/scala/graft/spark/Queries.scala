@@ -120,7 +120,7 @@ object Queries {
         |ORDER BY o_orderkey""".stripMargin,
     "j02_anti_join" ->
       """SELECT c_custkey FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
@@ -257,9 +257,11 @@ object Queries {
         .select("o_orderkey").orderBy("o_orderkey")
     }),
     "j02_anti_join" -> ((s, dir) => {
-      val orders = s.read.parquet(s"$dir/orders.parquet").select("o_custkey")
+      // the resume shape (C2): pending = all \ done, with a filtered done side
+      val bigOrders = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 300000).select("o_custkey")
       s.read.parquet(s"$dir/customer.parquet")
-        .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey").orderBy("c_custkey")
     }),
     "q1_agg" -> ((s, dir) => {

@@ -237,6 +237,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.count() == 200)
   }
 
+  test("SparkEntry.entry: flagship pipeline returns matches on sf0.001") {
+    val n = graft.SparkEntry.entry(spark).count()
+    assert(n > 0, "driver smoke-check requires rows > 0")
+  }
+
   test("x04 oracle validity: OCR roundtrip is exact for every sf0.01 document") {
     // the DuckDB oracle for x04/x05 assumes decode(render(scanLine(text))) ==
     // scanLine(text) under noise; check it for the full sf0.01 corpus
