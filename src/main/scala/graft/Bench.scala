@@ -1,18 +1,19 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.spark.{ExtractJob, Synth}
+import graft.spark.{ExtractJob, Schemas, Synth}
 
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
-  * Two measurements (BASELINE.md targets):
-  *   1. per-query wall times over SPARK_GRAFT_SF_DIR at the high parallelism;
-  *   2. extraction throughput (docs/sec + MB/sec of payload parsed) on a
-  *      multiplied synthetic pages corpus at local[N] and local[N/4] — the
-  *      sandbox stand-in for the N-vs-4N-executor scaling criterion
-  *      (BASELINE.json north_rule; driver instruction). Efficiency =
-  *      (thru_high / thru_low) / (cpus_high / cpus_low).
+  * Measurements (BASELINE.md targets):
+  *   1. per-query wall times over SPARK_GRAFT_SF_DIR at local[N];
+  *   2. extraction throughput (docs/sec + MB/sec of payload parsed) over a
+  *      materialized pages table (parquet on disk, so payload synthesis is NOT
+  *      measured) at local[N] and local[N/4] — the sandbox stand-in for the
+  *      N-vs-4N-executor scaling criterion (BASELINE.json north_rule; driver
+  *      instruction). Each parallelism gets one warm-up pass (JIT + page cache)
+  *      before the measured pass. Efficiency = (thru_N / thru_N/4) / 4.
   */
 object Bench {
 
@@ -25,35 +26,60 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("ERROR")
     s
   }
 
-  /** Extraction throughput on `mult` copies of the documents corpus.
-    * Returns (docs, bytes, seconds).
+  /** Materialize `mult` copies of the documents corpus as a pages parquet
+    * table (the Common-Crawl-style input relation). Done once, outside timing.
     */
-  private def extractBench(spark: SparkSession, sfDir: String, mult: Int): (Long, Long, Double) = {
+  private def materializePages(spark: SparkSession, sfDir: String, mult: Int,
+      docRep: Int, path: String): Unit = {
     import spark.implicits._
     val base = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text", "lang")
     val reps = spark.range(mult).select(col("id").as("rep"))
-    val docs = base.crossJoin(reps)
+    base.crossJoin(reps)
       .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"), col("text"), col("lang"))
-    val pages = docs.as[(Long, String, String)]
-      .map { case (id, text, lang) => Synth.pageFromDocument(id, text, lang) }
+      .repartition(128)
+      .as[(Long, String, String)]
+      .map { case (id, text, lang) =>
+        // inflate each document to realistic web-page size (~10-60KB payloads)
+        val big = Array.fill(docRep)(text).mkString(" ")
+        Synth.pageFromDocument(id, big, lang)
+      }
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** One full extraction pass over the materialized pages table.
+    * Returns (docs, payloadBytes, seconds).
+    */
+  private def extractPass(spark: SparkSession, pagesPath: String, buckets: Int): (Long, Long, Double) = {
+    import spark.implicits._
+    val pages = spark.read.schema(Schemas.pagesSchema).parquet(pagesPath).as[Schemas.Page]
     val t0 = System.nanoTime()
-    val row = ExtractJob.extractDF(pages, numBuckets = 256)
+    val row = ExtractJob.extractDF(pages, numBuckets = buckets)
       .agg(count(lit(1)), sum(col("n_bytes")), sum(length(col("text"))))
       .head()
     val sec = (System.nanoTime() - t0) / 1e9
     (row.getLong(0), row.getLong(1), sec)
   }
 
+  private def measuredThroughput(cpus: Int, pagesPath: String): (Long, Long, Double) = {
+    val spark = newSession(cpus)
+    try {
+      extractPass(spark, pagesPath, buckets = cpus * 4) // warm-up: JIT + page cache
+      extractPass(spark, pagesPath, buckets = cpus * 4) // measured
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusLow = math.max(2, cpusHigh / 4)
-    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "8").toInt
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "40").toInt
+    val docRep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "40").toInt
+    val pagesPath = "target/bench_pages"
 
     // headline queries at high parallelism
     val headline = Seq(
@@ -69,26 +95,27 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-
-    // scaling: same extraction job at cpusHigh and cpusLow on identical input
-    val (docsH, bytesH, secH) = extractBench(spark, sfDir, mult)
-    spark.stop()
-    spark = newSession(cpusLow)
-    val (_, _, secL) = extractBench(spark, sfDir, mult)
+    materializePages(spark, sfDir, mult, docRep, pagesPath)
     spark.stop()
 
-    val thruHigh = docsH / secH
-    val thruLow = docsH / secL
-    val mbH = bytesH / 1e6 / secH
+    // scaling: warm-up + measured extraction at low then high parallelism,
+    // identical input (order puts any residual JIT advantage on the LOW side,
+    // biasing the reported efficiency down, never up)
+    val (_, _, secL) = measuredThroughput(cpusLow, pagesPath)
+    val (docs, bytes, secH) = measuredThroughput(cpusHigh, pagesPath)
+
+    val thruHigh = docs / secH
+    val thruLow = docs / secL
+    val mbH = bytes / 1e6 / secH
     val efficiency = (thruHigh / thruLow) / (cpusHigh.toDouble / cpusLow)
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = queryTimes.map(_._2).sum + secH
+    val total = queryTimes.map(_._2).sum + secH + secL
     println(
       s"""{"metric":"extract_docs_per_sec","value":${f"$thruHigh%.1f"},"unit":"docs/sec",""" +
       s""""queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.2f"},""" +
-      s""""extract":{"docs":$docsH,"payload_mb":${f"${bytesH / 1e6}%.1f"},""" +
+      s""""extract":{"docs":$docs,"payload_mb":${f"${bytes / 1e6}%.1f"},""" +
       s""""cpus_high":$cpusHigh,"cpus_low":$cpusLow,""" +
       s""""sec_high":${f"$secH%.2f"},"sec_low":${f"$secL%.2f"},""" +
       s""""docs_per_sec_high":${f"$thruHigh%.1f"},"docs_per_sec_low":${f"$thruLow%.1f"},""" +

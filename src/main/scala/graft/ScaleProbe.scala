@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.spark.{ExtractJob, Schemas}
+
+/** Dev harness: extraction throughput across parallelism levels against the
+  * materialized bench pages table (expects graft.Bench ran once to create it).
+  * Not part of the driver contract; used to tune the scaling path.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val pagesPath = "target/bench_pages"
+    for (cpus <- Seq(4, 8, 16, 32)) {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      import spark.implicits._
+      def pass(): Double = {
+        val pages = spark.read.schema(Schemas.pagesSchema).parquet(pagesPath).as[Schemas.Page]
+        val t0 = System.nanoTime()
+        ExtractJob.extractDF(pages, numBuckets = cpus * 4)
+          .agg(count(lit(1)), sum(length(col("text")))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      pass() // warm-up
+      val s1 = pass()
+      val s2 = pass()
+      println(f"CPUS=$cpus%2d sec=${math.min(s1, s2)}%.2f (runs: $s1%.2f, $s2%.2f) heap=${Runtime.getRuntime.maxMemory() / 1e9}%.1fg")
+      spark.stop()
+    }
+  }
+}

@@ -8,8 +8,10 @@ import graft.kernel.Extract
   *
   * {{{
   * read pages snapshot -> left_anti(done urls)            [resume, C2]
-  *   -> bucket by pmod(xxhash64(url), B) + repartition    [one shuffle]
-  *   -> typed mapPartitions(extract kernel E1-E8)         [task = reference batch]
+  *   -> bucket col = pmod(xxhash64(url), B)               [no shuffle]
+  *   -> typed mapPartitions(extract kernel E1-E8)         [map-side; task = reference batch]
+  *   -> repartition(B, bucket)                            [the one wide exchange,
+  *                                                          carries extracted text only]
   *   -> write data files; success-ratio gate (A1, via observe — no second scan)
   *   -> atomic snapshot commit (C1); per-bucket lineage -> metrics (A3)
   * }}}
@@ -20,13 +22,14 @@ import graft.kernel.Extract
   * ("Skipping 20 already processed PDFs", `extraction_errors.log:1`); commit
   * granularity is a snapshot instead of a JSON batch file (`extractor.py:119-122`).
   *
-  * Scale notes (100 TB / 1000 executors): the only wide exchange is the
-  * url-hash repartition, which is uniform by construction (no host skew can
-  * reach it — hash of the full url); B is a knob (buckets == shuffle
-  * partitions at scale). Column pruning applies before the kernel (only url,
-  * html, text survive the scan when lineage needs nothing else); AQE coalesces
-  * the small lineage shuffle. The kernel is CPU-bound per row and embarrassingly
-  * parallel — throughput scales with cores until the parquet scan saturates.
+  * Scale notes (100 TB / 1000 executors): the kernel is map-side, so the raw
+  * payload bytes move exactly once (scan). The single wide exchange shuffles
+  * extracted rows — typically 3-10x smaller than the input and free of the
+  * html column — keyed on pmod(xxhash64(url), B), which is uniform by
+  * construction (no host skew can reach it). B is a knob (buckets == shuffle
+  * partitions at scale). AQE coalesces the small lineage shuffle. The kernel
+  * is CPU-bound per row and embarrassingly parallel — throughput scales with
+  * cores until the parquet scan saturates.
   */
 object ExtractJob {
 
@@ -37,13 +40,17 @@ object ExtractJob {
 
   /** Pure transform: pages -> extracted rows (no table/commit side effects).
     * The single relational seam around the typed kernel.
+    *
+    * Deliberately NARROW: the kernel runs map-side on the scan partitions, so
+    * raw html payloads are never shuffled — at 100 TB that exchange would be
+    * the whole job's cost. The bucket is just a column here; the (much
+    * smaller) extracted rows get co-located by bucket at write time in run().
     */
   def extractDF(pages: Dataset[Schemas.Page], numBuckets: Int): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(numBuckets)).cast("int"))
-      .repartition(col("bucket"))
       .as[(String, java.sql.Timestamp, Array[Byte], String, String, Int)]
       .mapPartitions { it =>
         it.map { case (url, _, html, text, _, bucket) =>
@@ -79,9 +86,12 @@ object ExtractJob {
 
     val snapshotId = log.nextSnapshotId()
     val obs = Observation(s"gate-$snapshotId")
+    // the one wide exchange: co-locate extracted rows (post-kernel, html
+    // already dropped) by bucket for the data-file layout
     val extracted = extractDF(pending, numBuckets)
       .observe(obs, count(lit(1)).as("total"), count(when(col("ok"), 1)).as("ok"))
       .drop("ok")
+      .repartition(numBuckets, col("bucket"))
 
     val stage = log.stageDataDir(snapshotId)
     extracted.write.mode("overwrite").parquet(stage)

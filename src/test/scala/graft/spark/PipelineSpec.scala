@@ -257,11 +257,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("explain: extract plan has one exchange; scan prunes columns for search") {
+  test("explain: extract transform is narrow (raw payloads never shuffle); search prunes columns") {
     val sp = spark; import sp.implicits._
     val pages = spark.createDataset(fixture)
     val plan = ExtractJob.extractDF(pages, 16).queryExecution.executedPlan.toString
-    assert(plan.contains("Exchange"))
+    assert(!plan.contains("Exchange"),
+      s"extractDF must stay map-side; raw html in a shuffle is the 100TB bottleneck:\n${plan.take(1500)}")
     // search reads only url + text-bearing columns; kind/bucket/etc pruned
     val dir = tmpDir("prune")
     ExtractJob.run(spark, pages, dir, 8)
