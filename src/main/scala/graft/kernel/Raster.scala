@@ -93,6 +93,67 @@ object Raster {
     ink
   }
 
+  // ---- multimodal feature ops (training-data pipeline: decode / resize /
+  //      crop over opaque binary columns; the Spark side keeps these in
+  //      mapPartitions/UDFs over BinaryType — schema and batching are real,
+  //      per the builder brief) ----
+
+  /** Box-mean downsample by integer factor (floor dims; factor >= 1). */
+  def downsample(g: Gray, factor: Int): Gray = {
+    require(factor >= 1, "factor must be >= 1")
+    if (factor == 1) return g
+    val w2 = math.max(1, g.w / factor)
+    val h2 = math.max(1, g.h / factor)
+    val out = new Array[Byte](w2 * h2)
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        var sum = 0
+        var n = 0
+        var dy = 0
+        while (dy < factor) {
+          var dx = 0
+          while (dx < factor) {
+            val sx = x * factor + dx
+            val sy = y * factor + dy
+            if (sx < g.w && sy < g.h) { sum += g(sx, sy); n += 1 }
+            dx += 1
+          }
+          dy += 1
+        }
+        out(y * w2 + x) = (sum / n).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Gray(w2, h2, out)
+  }
+
+  /** Crop to the intersection of the requested window and the image. */
+  def crop(g: Gray, x0: Int, y0: Int, w: Int, h: Int): Gray = {
+    val cx = math.max(0, x0)
+    val cy = math.max(0, y0)
+    val cw = math.max(0, math.min(g.w - cx, w))
+    val ch = math.max(0, math.min(g.h - cy, h))
+    val out = new Array[Byte](cw * ch)
+    var y = 0
+    while (y < ch) {
+      System.arraycopy(g.px, (cy + y) * g.w + cx, out, y * cw, cw)
+      y += 1
+    }
+    Gray(cw, ch, out)
+  }
+
+  /** Mean pixel value (simple feature-extract; 0.0 for empty). */
+  def meanPixel(g: Gray): Double = {
+    if (g.px.isEmpty) return 0.0
+    var sum = 0L
+    var i = 0
+    while (i < g.px.length) { sum += g.px(i) & 0xff; i += 1 }
+    sum.toDouble / g.px.length
+  }
+
   // ---- writer (fixture/synth side) ----
 
   def writeGray(w: Int, h: Int, px: Array[Byte]): Array[Byte] = {

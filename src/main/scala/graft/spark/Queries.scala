@@ -145,6 +145,10 @@ object Queries {
     "m01_binary_meta" ->
       """SELECT doc_id, 'GRAS' AS fmt,
         |  CAST(13 + (16 + doc_id % 16) * 8 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "m02_thumb_meta" ->
+      """SELECT doc_id,
+        |  CAST(13 + ((16 + doc_id % 16) // 2) * 4 AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 
@@ -309,6 +313,23 @@ object Queries {
           length(col("payload")).cast("long").as("n_bytes"))
         .orderBy("doc_id")
     }),
+    "m02_thumb_meta" -> ((s, dir) => {
+      // multimodal decode + resize: raster -> box-mean downsample x2 ->
+      // re-encode; metadata of the thumbnail is oracle-checkable arithmetic
+      val mk = udf((id: Long) => {
+        val w = 16 + (id % 16).toInt
+        val h = 8
+        graft.kernel.Raster.writeGray(w, h, new Array[Byte](w * h))
+      })
+      val thumb = udf((bytes: Array[Byte]) => {
+        val g = graft.kernel.Raster.decodeGray(bytes)
+        val d = graft.kernel.Raster.downsample(g, 2)
+        graft.kernel.Raster.writeGray(d.w, d.h, d.px)
+      })
+      docs(s, dir).select(col("doc_id"), thumb(mk(col("doc_id"))).as("payload"))
+        .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    }),
     // ---- rows-only (kernel fidelity covered by ScalaTest byte-identity) ----
     "k01_vin_candidates" -> ((s, dir) => {
       val text2 = concat(col("text"), lit(" VIN: 1HGCM82633A"),
@@ -331,10 +352,12 @@ object Queries {
         .orderBy("doc_id")
     }),
     "k03_fuzzy_ratio" -> ((s, dir) => {
+      // native Catalyst expression (whole-stage codegen), not a UDF — §2.8
+      Expressions.register(s)
       val a = Functions.vinNormalize(substring(col("text"), 1, 20))
       val b = Functions.vinNormalize(substring(col("text"), 3, 20))
       docs(s, dir).select(col("doc_id"),
-        (Functions.roRatioUdf(a, b) * 1000000).cast("long").as("ratio_ppm"))
+        (Expressions.roRatio(a, b) * 1000000).cast("long").as("ratio_ppm"))
         .orderBy("doc_id")
     }),
     "t05_lang_id" -> ((s, dir) => {

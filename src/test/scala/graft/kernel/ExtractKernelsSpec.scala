@@ -178,6 +178,22 @@ class OcrSpec extends AnyFunSuite {
     assert(Ocr.decode(Raster.writeRgb(g.w, g.h, rgb)) == line + "\n")
   }
 
+  test("multimodal ops: downsample/crop/meanPixel are deterministic and sane") {
+    val img = GlyphFont.render(Seq("THUMB TEST 42"), seed = 9L, noise = false)
+    val g = Raster.decodeGray(img)
+    val d2 = Raster.downsample(g, 2)
+    assert(d2.w == g.w / 2 && d2.h == g.h / 2)
+    // downsampling a textured-bg glyph image darkens where ink is
+    assert(Raster.meanPixel(d2) < 255.0 && Raster.meanPixel(d2) > 0.0)
+    assert(math.abs(Raster.meanPixel(Raster.downsample(g, 1)) - Raster.meanPixel(g)) == 0.0)
+    val c = Raster.crop(g, 2, 2, 10, 5)
+    assert(c.w == 10 && c.h == 5)
+    assert((0 until 5).forall(y => (0 until 10).forall(x => c(x, y) == g(x + 2, y + 2))))
+    // out-of-range crop clamps, never throws
+    assert(Raster.crop(g, g.w - 3, g.h - 3, 100, 100).w == 3)
+    assert(Raster.crop(g, -5, -5, 4, 4).w == 4)
+  }
+
   test("blank or corrupt rasters decode to empty, never throw") {
     assert(Ocr.decode(Raster.writeGray(5, 5, Array.fill(25)(255.toByte))) == "")
     assert(Ocr.decode(Array[Byte](1, 2, 3)) == "")

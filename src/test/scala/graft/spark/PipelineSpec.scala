@@ -237,6 +237,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.count() == 200)
   }
 
+  test("native ro_ratio expression: codegen path matches kernel and UDF") {
+    val sp = spark; import sp.implicits._
+    Expressions.register(spark)
+    val pairs = Seq(
+      ("1HGCM82633A004352", "1HGCM82633A004852"),
+      ("KMHDU46D17U123456", "KMHDU46D17U654321"),
+      ("", ""), ("ABC", "ABC"))
+    val df = spark.createDataset(pairs).toDF("a", "b")
+    val got = df.select(
+      Expressions.roRatio(col("a"), col("b")).as("expr_r"),
+      Functions.roRatioUdf(col("a"), col("b")).as("udf_r")).collect()
+    for ((row, (a, b)) <- got.zip(pairs)) {
+      assert(row.getDouble(0) == graft.kernel.Difflib.ratio(a, b))
+      assert(row.getDouble(0) == row.getDouble(1))
+    }
+    // null-safety + SQL form
+    df.createOrReplaceTempView("pairs_v")
+    val viaSql = spark.sql("SELECT ro_ratio(a, b) FROM pairs_v").collect()
+    assert(viaSql.length == pairs.length)
+    assert(spark.sql("SELECT ro_ratio(NULL, 'x')").head().isNullAt(0))
+    // the expression participates in whole-stage codegen over a real scan
+    // (a LocalTableScan would fold it away before planning)
+    val scanned = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Expressions.roRatio(col("text"), col("source")))
+    val plan = scanned.queryExecution.executedPlan.toString
+    // "*(n)" marks a whole-stage-codegen'd operator in the plan string; a UDF
+    // would appear as a non-codegen ScalaUDF invoke instead
+    assert(plan.contains("*(1) Project") && plan.contains("ro_ratio"), plan.take(800))
+    assert(scanned.count() > 0)
+  }
+
   test("SparkEntry.entry: flagship pipeline returns matches on sf0.001") {
     val n = graft.SparkEntry.entry(spark).count()
     assert(n > 0, "driver smoke-check requires rows > 0")
