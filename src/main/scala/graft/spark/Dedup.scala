@@ -33,10 +33,13 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // one shingling pass; persisted because the LSH self-join reads this twice
+    // (LRU-evicted, MEMORY_AND_DISK — signatures are ~0.5KB/doc, never the text)
     val sigs = docs.select(
       col(idCol).cast("long").as("id"),
-      Functions.minHashUdf(col(textCol)).as("sig"),
-      Functions.lshBandsUdf(col(textCol)).as("bands"))
+      Functions.minHashUdf(col(textCol)).as("sig"))
+      .withColumn("bands", Functions.bandsFromSigUdf(col("sig")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"), posexplode(col("bands")).as(Seq("band", "key")))
     val l = banded.select(col("band"), col("key"), col("id").as("a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("key"), col("id").as("b"), col("sig").as("sig_b"))

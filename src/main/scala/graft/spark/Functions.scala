@@ -74,6 +74,11 @@ object Functions {
   val lshBandsUdf = udf((text: String) =>
     if (text == null) Seq.empty[Long]
     else TextStats.lshBands(TextStats.minHash(TextStats.shingles(text))).toSeq)
+  /** Bands from an already-computed signature — avoids re-shingling when both
+    * the signature and its band keys are needed (Dedup.minHashPairs).
+    */
+  val bandsFromSigUdf = udf((sig: Seq[Long]) =>
+    if (sig == null) Seq.empty[Long] else TextStats.lshBands(sig.toArray).toSeq)
   val jaccardUdf = udf((a: String, b: String) =>
     TextStats.jaccard(TextStats.shingles(if (a == null) "" else a),
       TextStats.shingles(if (b == null) "" else b)))
