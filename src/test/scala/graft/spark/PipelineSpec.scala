@@ -268,6 +268,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanned.count() > 0)
   }
 
+  test("custom operator: GraftExtractExec equals the mapPartitions path, shows in EXPLAIN") {
+    val sp = spark; import sp.implicits._
+    plans.ExtractPlan.install(spark)
+    val pages = spark.createDataset(fixture.take(80)).toDF()
+    val viaOp = plans.ExtractPlan.extract(pages, numBuckets = 16)
+    val plan = viaOp.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftExtract"), plan.take(1200))
+    assert(!plan.contains("Exchange"), "custom operator must stay narrow")
+    val got = viaOp.select("url", "bucket", "kind", "text", "n_bytes")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    val expected = ExtractJob.extractDF(spark.createDataset(fixture.take(80)), 16)
+      .select("url", "bucket", "kind", "text", "n_bytes")
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
+    assert(got == expected)
+  }
+
+  test("streaming extract (AvailableNow): same kernel output, incremental restart") {
+    val sp = spark; import sp.implicits._
+    val inDir = tmpDir("stream_in")
+    val outDir = tmpDir("stream_out") + "/out"
+    val ckDir = tmpDir("stream_ck")
+    spark.createDataset(fixture.take(60)).write.mode("append").parquet(inDir)
+    StreamingExtract.start(spark, inDir, outDir, ckDir, 8).awaitTermination()
+    val first = StreamingExtract.readOutput(spark, outDir)
+    assert(first.count() == 60)
+    // land more pages; restart drains only the new files (checkpoint lineage)
+    spark.createDataset(fixture.slice(60, 100)).write.mode("append").parquet(inDir)
+    StreamingExtract.start(spark, inDir, outDir, ckDir, 8).awaitTermination()
+    val all = StreamingExtract.readOutput(spark, outDir)
+      .select("url", "kind", "text").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(all.size == 100)
+    for ((url, (kind, text)) <- all) {
+      val exp = oracle(url)
+      assert(kind == exp.kind && text == exp.text, url)
+    }
+  }
+
   test("SparkEntry.entry: flagship pipeline returns matches on sf0.001") {
     val n = graft.SparkEntry.entry(spark).count()
     assert(n > 0, "driver smoke-check requires rows > 0")
