@@ -79,7 +79,7 @@ object Bench {
     val cpusLow = math.max(2, cpusHigh / 4)
     val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "40").toInt
     val docRep = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP", "40").toInt
-    val pagesPath = "target/bench_pages"
+    val pagesPath = "/root/repo/target/bench_pages"
 
     // headline queries at high parallelism
     val headline = Seq(

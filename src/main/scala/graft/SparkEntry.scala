@@ -19,7 +19,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val sfDir = "/root/testdata/sf0.001"
-    val tableDir = "target/entry_extracted"
+    val tableDir = "/root/repo/target/entry_extracted"
     deleteRecursively(new java.io.File(tableDir))
     val pages = Synth.pagesFromDocuments(spark, sfDir)
     ExtractJob.run(spark, pages, tableDir, numBuckets = 32)

@@ -148,13 +148,41 @@ object SearchKernels {
       contract: Option[String] = None,
       claim: Option[String] = None,
       any: Option[String] = None) {
-    /** Mirrors `active_fields` — values stripped, empties dropped (search.py:101). */
+    /** Mirrors `active_fields` — values stripped (search.py:101). The falsy
+      * check happens on the RAW value (`if v`), so a whitespace-only param
+      * strips to "" but stays active — reproducing the reference quirk where
+      * an all-blank searchbyany/Dealer value matches every document
+      * (`"" in all_text` is always True). [[normalizeParams]] applies the
+      * raw-stage falsy filter.
+      */
     def active: SearchParams = {
-      def n(o: Option[String]) = o.map(Py.strip).filter(_.nonEmpty)
+      def n(o: Option[String]) = o.map(Py.strip)
       SearchParams(n(dealer), n(vin), n(contract), n(claim), n(any))
     }
     def isEmpty: Boolean =
       dealer.isEmpty && vin.isEmpty && contract.isEmpty && claim.isEmpty && any.isEmpty
+  }
+
+  /** The UI-alias field map (search.py:89-99): raw request keys -> canonical
+    * fields; unknown keys dropped, empty/blank values dropped (search.py:101).
+    */
+  def normalizeParams(raw: Map[String, String]): SearchParams = {
+    val fieldMap = Map(
+      "Dealer Name" -> "Dealer", "Dealer" -> "Dealer",
+      "VIN" -> "VIN",
+      "Contract #" -> "Contract", "Contract" -> "Contract",
+      "Claim #" -> "Claim", "Claim" -> "Claim",
+      "Search by Word" -> "searchbyany", "searchbyany" -> "searchbyany")
+    val active = raw.collect {
+      case (k, v) if v != null && v.nonEmpty && fieldMap.contains(k) =>
+        fieldMap(k) -> Py.strip(v)
+    }
+    SearchParams(
+      dealer = active.get("Dealer"),
+      vin = active.get("VIN"),
+      contract = active.get("Contract"),
+      claim = active.get("Claim"),
+      any = active.get("searchbyany"))
   }
 
   /** Contract/Claim hit: exact membership of the stripped extracted number

@@ -121,6 +121,15 @@ class SearchKernelsSpec extends AnyFunSuite {
     assert(bestFuzzyMatch("ABCD", Seq("ABXX"), threshold = 0.51) == None)
   }
 
+  test("normalizeParams: UI alias map, unknown keys and blanks dropped (search.py:89-101)") {
+    val p = normalizeParams(Map(
+      "Dealer Name" -> " Quality Motors ", "Contract #" -> "700123",
+      "Search by Word" -> "needle", "Unknown Field" -> "x", "VIN" -> ""))
+    assert(p == SearchParams(dealer = Some("Quality Motors"),
+      contract = Some("700123"), any = Some("needle")))
+    assert(normalizeParams(Map("nope" -> "y")).isEmpty)
+  }
+
   test("docMatches: disjunction + param normalization") {
     val text = "Contract # 700123\nDealer: Quality Motors 42\nneedleTOKEN here"
     assert(docMatches(text, SearchParams(contract = Some("700123"))))
@@ -128,6 +137,10 @@ class SearchKernelsSpec extends AnyFunSuite {
     assert(!docMatches(text, SearchParams(any = Some("needletoken")))) // case-sensitive F6
     assert(docMatches(text, SearchParams(claim = Some("nope"), dealer = Some("quality"))))
     assert(!docMatches(text, SearchParams(claim = Some("999999"))))
-    assert(SearchParams(any = Some("  ")).active.isEmpty) // blank params dropped
+    // reference quirk: whitespace-only survives the raw falsy check, strips to
+    // "", and "" in all_text is always True (search.py:101,167)
+    assert(SearchParams(any = Some("  ")).active == SearchParams(any = Some("")))
+    assert(docMatches(text, SearchParams(any = Some("  "))))
+    assert(!docMatches(text, SearchParams(contract = Some("  ")))) // "" never equals a number
   }
 }
