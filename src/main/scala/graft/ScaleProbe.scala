@@ -18,17 +18,25 @@ object ScaleProbe {
         .getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
       import spark.implicits._
-      def pass(): Double = {
-        val pages = spark.read.schema(Schemas.pagesSchema).parquet(pagesPath).as[Schemas.Page]
+      graft.spark.plans.ExtractPlan.install(spark)
+      def pass(op: Boolean): Double = {
         val t0 = System.nanoTime()
-        ExtractJob.extractDF(pages, numBuckets = cpus * 4)
-          .agg(count(lit(1)), sum(length(col("text")))).head()
+        val df =
+          if (op) graft.spark.plans.ExtractPlan.extract(
+            spark.read.schema(Schemas.pagesSchema).parquet(pagesPath), numBuckets = cpus * 4)
+          else ExtractJob.extractDF(
+            spark.read.schema(Schemas.pagesSchema).parquet(pagesPath).as[Schemas.Page],
+            numBuckets = cpus * 4)
+        df.agg(count(lit(1)), sum(length(col("text")))).head()
         (System.nanoTime() - t0) / 1e9
       }
-      pass() // warm-up
-      val s1 = pass()
-      val s2 = pass()
-      println(f"CPUS=$cpus%2d sec=${math.min(s1, s2)}%.2f (runs: $s1%.2f, $s2%.2f) heap=${Runtime.getRuntime.maxMemory() / 1e9}%.1fg")
+      for (op <- Seq(false, true)) {
+        pass(op) // warm-up
+        val s1 = pass(op)
+        val s2 = pass(op)
+        val label = if (op) "GraftExtractExec" else "mapPartitions   "
+        println(f"CPUS=$cpus%2d $label sec=${math.min(s1, s2)}%.2f (runs: $s1%.2f, $s2%.2f)")
+      }
       spark.stop()
     }
   }
