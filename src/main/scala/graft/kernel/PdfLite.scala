@@ -83,7 +83,8 @@ object PdfLite {
     */
   def pageText(page: Page): String = {
     if (page.runs.isEmpty) return ""
-    val sorted = page.runs.sortBy(r => (r.y, r.x))
+    // stable merge sort, allocation-free comparator (hot path: one sort per page)
+    val sorted = page.runs.sortWith((a, b) => a.y < b.y || (a.y == b.y && a.x < b.x))
     val sb = new StringBuilder
     var curY = Int.MinValue
     var first = true
