@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`embeddings` table:
@@ -46,5 +46,124 @@ object Embeddings {
       .withColumn("bucket", Functions.embedLshUdf(col("embedding")))
       .filter(col("bucket") === qBucket)
     bruteForceTopK(candidates.drop("bucket"), q, k)
+  }
+
+  /** Cosine between two array<float> columns, pure higher-order functions. */
+  def cosinePairCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: candidates from a random-hyperplane
+    * LSH bucket self-join (O(docs) rows per bucket, never O(docs^2) overall),
+    * verified with exact cosine >= `minCosine`. The shuffle key is the 12-bit
+    * bucket; at 10^12 docs one would widen the signature and multi-probe, but
+    * the plan shape (bucket join + in-bucket verify) is the scale shape.
+    * Returns (a, b, cosine_ppm) with a < b.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val sigs = embeddings.select(
+      col("vec_id").cast("long").as("id"),
+      col("embedding"),
+      Functions.embedLshUdf(col("embedding")).as("bucket"))
+    val l = sigs.select(col("bucket"), col("id").as("a"), col("embedding").as("va"))
+    val r = sigs.select(col("bucket"), col("id").as("b"), col("embedding").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), cosinePairCol(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .groupBy("a", "b") // a pair can collide in several buckets at scale
+      .agg(max("cos").as("cos"))
+      .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cosine_ppm"))
+  }
+
+  /** Corpus with deterministic near-duplicate vectors injected (vec_id+offset,
+    * dim 0 nudged by +0.01) so near-dup operators have visible output on the
+    * driver testdata; the nudge keeps cosine ~0.9999 and (almost always) the
+    * same LSH bucket.
+    */
+  def withInjectedNearDups(embeddings: DataFrame, offset: Long = 1000000L): DataFrame = {
+    val mutated = embeddings.select(
+      (col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, (x + lit(0.01f)).cast("float")).otherwise(x)).as("embedding"),
+      col("label"))
+    embeddings.select("vec_id", "embedding", "label").unionByName(mutated)
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Train an IVF coarse quantizer: deterministic seed sample of k vectors,
+    * then `iters` distributed Lloyd steps. The refinement aggregates per
+    * (cell, dim) with map-side partial avg — the shuffle carries k*dim rows
+    * total, independent of corpus size. Components are rounded to 1e-3 so the
+    * centroids are stable across partitionings (float sums are order-
+    * sensitive in the last bits).
+    */
+  def ivfTrain(embeddings: DataFrame, k: Int, iters: Int = 1): Array[Array[Float]] = {
+    val init: Array[Array[Float]] = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(pmod(xxhash64(col("vec_id")), lit(1000003L)), col("vec_id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val assign = nearestCellUdf(cents)
+      val rows = embeddings
+        .select(assign(col("embedding")).as("cell"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          math.round(r.getDouble(2) * 1000.0).toFloat / 1000.0f
+      }
+      cents = next // cells that captured no vectors keep their old centroid
+      it += 1
+    }
+    cents
+  }
+
+  /** Argmax-cosine cell id for a vector (ties -> lowest cell). */
+  private def nearestCellUdf(cents: Array[Array[Float]]) =
+    udf { (v: Seq[Float]) =>
+      val arr = v.toArray
+      var best = 0
+      var bestCos = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        val cos = graft.kernel.TextStats.cosine(arr, cents(c))
+        if (cos > bestCos) { bestCos = cos; best = c }
+        c += 1
+      }
+      best
+    }
+
+  /** Cell assignment as a column (what one would persist/partition by). */
+  def ivfAssign(embeddings: DataFrame, cents: Array[Array[Float]]): DataFrame =
+    embeddings.withColumn("cell", nearestCellUdf(cents)(col("embedding")))
+
+  /** IVF probe: rank cells by centroid cosine on the driver (k is tiny), scan
+    * only the `nProbe` best cells, brute-force inside them. At scale the
+    * embeddings table is written partitioned by `cell`, so this filter is
+    * partition pruning — the probe reads nProbe/k of the corpus.
+    */
+  def ivfTopK(embeddings: DataFrame, cents: Array[Array[Float]],
+      q: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) => (graft.kernel.TextStats.cosine(q, c), i) }
+      .sortBy { case (cos, i) => (-cos, i) }
+      .take(nProbe)
+      .map(_._2)
+    val candidates = ivfAssign(embeddings, cents)
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .drop("cell")
+    bruteForceTopK(candidates, q, k)
   }
 }

@@ -149,6 +149,19 @@ object Queries {
     "m02_thumb_meta" ->
       """SELECT doc_id,
         |  CAST(13 + ((16 + doc_id % 16) // 2) * 4 AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // video frames: n = 4 + doc_id%8; stride-2 sample = ceil(n/2); every pixel
+    // of frame f is (doc_id+f)%256, so the first sampled frame's mean is doc_id%256
+    "m03_frame_sample" ->
+      """SELECT doc_id, CAST(4 + doc_id % 8 AS BIGINT) AS n_frames,
+        |  CAST((4 + doc_id % 8 + 1) // 2 AS BIGINT) AS n_sampled,
+        |  CAST(doc_id % 256 AS BIGINT) AS first_mean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // PCM16 with period-4 (+A,+A,-A,-A): n even -> (n-2)/2 sign flips, mean|s|=A
+    "m04_audio_features" ->
+      """SELECT doc_id, CAST(64 + (doc_id % 32) * 2 AS BIGINT) AS n_samples,
+        |  CAST((64 + (doc_id % 32) * 2 - 2) // 2 AS BIGINT) AS zero_crossings,
+        |  CAST(1 + doc_id % 100 AS BIGINT) AS mean_abs
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 
@@ -386,6 +399,80 @@ object Queries {
     "e02_embed_lsh" -> ((s, dir) => {
       Embeddings.lshBuckets(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("vec_id")
+    }),
+    "e03_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup: LSH-bucket candidates + exact-cosine verify
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Embeddings.cosineNearDupPairs(
+        Embeddings.withInjectedNearDups(emb, offset = 100000L), minCosine = 0.99)
+        .orderBy("a", "b")
+    }),
+    "e04_embed_ivf" -> ((s, dir) => {
+      // IVF coarse index: seed sample + one distributed Lloyd step, probe the
+      // 4 nearest of 16 cells (at scale: partition pruning on the cell key)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cents = Embeddings.ivfTrain(emb, k = 16, iters = 1)
+      Embeddings.ivfTopK(emb, cents, q, k = 10, nProbe = 4)
+        .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
+    }),
+    "t08_simhash_pairs" -> ((s, dir) => {
+      // exact copies (hamming 0) plus dropped-last-word near-dups
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+      val exact = base.select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.simHashPairs(base.unionByName(exact), "doc_id", "text", maxHamming = 3)
+        .orderBy("a", "b")
+    }),
+    "t09_jaccard_verify" -> ((s, dir) => {
+      // exact n-gram Jaccard verification pass over the LSH candidate pairs
+      val corpus = Dedup.withInjectedNearDups(s, docs(s, dir), "doc_id", "text")
+      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text", minJaccard = 0.5)
+        .select("a", "b")
+      Dedup.verifyJaccard(pairs, corpus, "doc_id", "text")
+        .select(col("a"), col("b"),
+          (col("jaccard_exact") * 1000).cast("long").as("jac_exact_permille"))
+        .orderBy("a", "b")
+    }),
+    "m03_frame_sample" -> ((s, dir) => {
+      // video as opaque binary: synthesize GRVD container, then frame-sample
+      // with stride 2 — the kernel seeks, decoding only the sampled frames
+      val mk = udf((id: Long) => {
+        val n = 4 + (id % 8).toInt
+        val frames = (0 until n).map { f =>
+          graft.kernel.Raster.Gray(8, 4,
+            Array.fill(32)(((id + f) % 256).toByte))
+        }
+        graft.kernel.Media.writeVideo(frames)
+      })
+      val feat = udf((bytes: Array[Byte]) => {
+        val sampled = graft.kernel.Media.sampleFrames(bytes, 2)
+        (graft.kernel.Media.frameCount(bytes).toLong,
+          sampled.length.toLong,
+          math.floor(graft.kernel.Raster.meanPixel(sampled.head)).toLong)
+      })
+      docs(s, dir).select(col("doc_id"), feat(mk(col("doc_id"))).as("f"))
+        .select(col("doc_id"), col("f._1").as("n_frames"),
+          col("f._2").as("n_sampled"), col("f._3").as("first_mean"))
+        .orderBy("doc_id")
+    }),
+    "m04_audio_features" -> ((s, dir) => {
+      // audio as opaque binary: PCM16 blob, feature-extract in the kernel
+      val mk = udf((id: Long) => {
+        val n = 64 + (id % 32).toInt * 2
+        val a = (1 + id % 100).toShort
+        graft.kernel.Media.writePcm16(
+          Array.tabulate(n)(i => if (i % 4 < 2) a else (-a).toShort))
+      })
+      val feat = udf((bytes: Array[Byte]) => {
+        val ss = graft.kernel.Media.readPcm16(bytes)
+        (ss.length.toLong, graft.kernel.Media.zeroCrossings(ss).toLong,
+          graft.kernel.Media.meanAbsAmplitude(ss))
+      })
+      docs(s, dir).select(col("doc_id"), feat(mk(col("doc_id"))).as("f"))
+        .select(col("doc_id"), col("f._1").as("n_samples"),
+          col("f._2").as("zero_crossings"), col("f._3").as("mean_abs"))
+        .orderBy("doc_id")
     })
   )
 }

@@ -237,6 +237,51 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.count() == 200)
   }
 
+  test("embeddings: injected near-dup vectors found by LSH-bucketed cosine pairs") {
+    val sp = spark; import sp.implicits._
+    val vecs = (0 until 120).map { i =>
+      val v = Array.tabulate(16)(d =>
+        (graft.kernel.Hash64.mix(i.toLong * 16 + d) % 1000).toFloat / 1000f)
+      (i.toLong, v.toSeq, i % 3)
+    }
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding", "label")
+    val withDups = Embeddings.withInjectedNearDups(df, offset = 100000L)
+    val pairs = Embeddings.cosineNearDupPairs(withDups, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    // the +0.01-on-dim-0 mutants are ~cosine-1 with their source; most stay in
+    // the same LSH bucket — require a clear majority found and all verified
+    val expected = vecs.map { case (id, _, _) => (id, id + 100000L) }.toSet
+    val got = pairs.map { case (a, b, _) => (a, b) }.toSet
+    assert((expected & got).size >= expected.size * 3 / 4,
+      s"only ${(expected & got).size} of ${expected.size} injected pairs found")
+    assert(pairs.forall(_._3 >= 990000L), "every reported pair passed the exact verify")
+  }
+
+  test("embeddings: IVF probe finds the exact top-1 and high top-k recall") {
+    val sp = spark; import sp.implicits._
+    // clustered data: 8 well-separated centers, small deterministic jitter
+    val vecs = (0 until 160).map { i =>
+      val c = i % 8
+      val v = Array.tabulate(16) { d =>
+        val base = if (d == c * 2) 10.0f else 0.0f
+        base + (graft.kernel.Hash64.mix(i.toLong * 16 + d) % 100).toFloat / 1000f
+      }
+      (i.toLong, v.toSeq, c)
+    }
+    val df = spark.createDataset(vecs).toDF("vec_id", "embedding", "label")
+    val q = vecs.head._2.toArray
+    val cents = Embeddings.ivfTrain(df, k = 8, iters = 1)
+    assert(cents.length == 8 && cents.forall(_.length == 16))
+    // every vector lands in some cell; cells partition the corpus
+    assert(Embeddings.ivfAssign(df, cents).count() == 160)
+    val ivf = Embeddings.ivfTopK(df, cents, q, k = 5, nProbe = 2)
+      .collect().map(_.getLong(0))
+    val brute = Embeddings.bruteForceTopK(df, q, 5).collect().map(_.getLong(0))
+    assert(ivf.head == 0L, "self is nearest")
+    val recall = (ivf.toSet & brute.toSet).size.toDouble / brute.length
+    assert(recall >= 0.8, s"IVF@nProbe=2 recall $recall vs brute force")
+  }
+
   test("native ro_ratio expression: codegen path matches kernel and UDF") {
     val sp = spark; import sp.implicits._
     Expressions.register(spark)
