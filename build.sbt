@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // The sandbox VM backs heap pages lazily via the hypervisor; first-touch
+  // faults during a timed pass cost more than the work itself (measured 26 s
+  // vs 4 s for the same local[16] extraction). Fault the heap in at startup.
+  "-XX:+AlwaysPreTouch",
 )

@@ -76,7 +76,31 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Fault the heap in before timing anything: the sandbox VM backs JVM heap
+    * pages lazily via the hypervisor, and first-touch faults inside a measured
+    * pass dominate the measurement (observed 26 s vs 4 s for the same
+    * local[16] extraction). Equivalent to -Xms=-Xmx -XX:+AlwaysPreTouch
+    * (set in build.sbt) but independent of how this main is launched.
+    */
+  private def preTouchHeap(): Unit = {
+    val target = (Runtime.getRuntime.maxMemory * 0.7).toLong
+    val chunk = 64 << 20
+    val held = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var total = 0L
+    try {
+      while (total < target) {
+        val a = new Array[Byte](chunk)
+        var i = 0
+        while (i < a.length) { a(i) = 1; i += 4096 }
+        held += a
+        total += chunk
+      }
+    } catch { case _: OutOfMemoryError => () }
+    held.clear() // pages stay OS-resident; G1 keeps them committed
+  }
+
   def main(args: Array[String]): Unit = {
+    preTouchHeap()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // N vs 4N scaling pair: defaults to 4 -> 16 so both levels run on

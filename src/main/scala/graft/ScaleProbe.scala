@@ -10,7 +10,10 @@ import graft.spark.{ExtractJob, Schemas}
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val pagesPath = "target/bench_pages"
-    for (cpus <- Seq(4, 8, 16, 32)) {
+    val levels = if (args.nonEmpty) args(0).split(",").toSeq.map(_.toInt) else Seq(4, 8, 16, 32)
+    val paths: Seq[Boolean] =
+      if (args.length > 1) args(1).split(",").toSeq.map(_ == "op") else Seq(false, true)
+    for (cpus <- levels) {
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -30,7 +33,7 @@ object ScaleProbe {
         df.agg(count(lit(1)), sum(length(col("text")))).head()
         (System.nanoTime() - t0) / 1e9
       }
-      for (op <- Seq(false, true)) {
+      for (op <- paths) {
         pass(op) // warm-up
         val s1 = pass(op)
         val s2 = pass(op)

@@ -27,10 +27,19 @@ object Dedup {
   /** Near-duplicate candidate pairs via MinHash LSH: docs sharing any of the 16
     * band keys, verified by MinHash-estimated Jaccard >= `minJaccard`.
     * Returns (a, b, jaccard_permille) with a < b, deduped across bands.
+    *
+    * `maxBucketSize` is the 100-TB skew guard: a boilerplate page duplicated
+    * 10^9 times puts every copy in ONE band bucket, and the in-bucket self-join
+    * is quadratic — 10^18 candidate rows from a single key. Buckets larger than
+    * the cap are dropped from the LSH join (their members are by construction
+    * exact or extreme near-dups, which the cheap [[exactGroups]] pre-pass owns);
+    * [[oversizedBuckets]] returns exactly what was dropped so a pipeline can
+    * route those buckets to the exact-dedup path instead of losing them.
     */
   def minHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 10000): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // one shingling pass; persisted because the LSH self-join reads this twice
@@ -41,8 +50,16 @@ object Dedup {
       .withColumn("bands", Functions.bandsFromSigUdf(col("sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("id"), col("sig"), posexplode(col("bands")).as(Seq("band", "key")))
-    val l = banded.select(col("band"), col("key"), col("id").as("a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("key"), col("id").as("b"), col("sig").as("sig_b"))
+    // cap pathological buckets BEFORE the self-join: the count agg carries only
+    // (band, key) and is map-side-combined; the hot-key list (rare by
+    // construction — every member is a near-identical mass duplicate) then
+    // prunes both join sides via a broadcast anti-join
+    val hot = banded.groupBy("band", "key").count()
+      .filter(col("count") > maxBucketSize)
+      .select("band", "key")
+    val pruned = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
+    val l = pruned.select(col("band"), col("key"), col("id").as("a"), col("sig").as("sig_a"))
+    val r = pruned.select(col("band"), col("key"), col("id").as("b"), col("sig").as("sig_b"))
     val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
       graft.kernel.TextStats.minHashJaccard(a.toArray, b.toArray))
     l.join(r, Seq("band", "key"))
@@ -54,17 +71,34 @@ object Dedup {
       .select(col("a"), col("b"), (col("jac") * 1000).cast("long").as("jac_permille"))
   }
 
+  /** The LSH band buckets larger than `maxBucketSize` — what [[minHashPairs]]
+    * drops. A 100-TB pipeline unions these members into the exact-dedup path
+    * (they are mass duplicates by construction) so nothing is silently lost.
+    * Returns (band, key, count).
+    */
+  def oversizedBuckets(docs: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int = 10000): DataFrame =
+    docs.select(col(idCol).cast("long").as("id"),
+        Functions.lshBandsUdf(col(textCol)).as("bands"))
+      .select(posexplode(col("bands")).as(Seq("band", "key")))
+      .groupBy("band", "key").count()
+      .filter(col("count") > maxBucketSize)
+
   /** SimHash near-dups: pairs within `maxHamming`, candidate-bucketed by the top
     * 16 signature bits (documents this close almost always share them; at scale
     * one would repeat over rotated signatures — noted, single probe here).
+    * Same mass-duplicate bucket cap as [[minHashPairs]].
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = docs.select(col(idCol).cast("long").as("id"),
       Functions.simHashUdf(col(textCol)).as("sim"))
       .withColumn("bucket", shiftrightunsigned(col("sim"), 48))
-    val l = sigs.select(col("bucket"), col("id").as("a"), col("sim").as("sim_a"))
-    val r = sigs.select(col("bucket"), col("id").as("b"), col("sim").as("sim_b"))
+    val hot = sigs.groupBy("bucket").count()
+      .filter(col("count") > maxBucketSize).select("bucket")
+    val pruned = sigs.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val l = pruned.select(col("bucket"), col("id").as("a"), col("sim").as("sim_a"))
+    val r = pruned.select(col("bucket"), col("id").as("b"), col("sim").as("sim_b"))
     val hamUdf = udf((x: Long, y: Long) => graft.kernel.TextStats.hammingDist(x, y))
     l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))

@@ -63,13 +63,20 @@ object Embeddings {
     * the plan shape (bucket join + in-bucket verify) is the scale shape.
     * Returns (a, b, cosine_ppm) with a < b.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+  def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double,
+      maxBucketSize: Int = 10000): DataFrame = {
     val sigs = embeddings.select(
       col("vec_id").cast("long").as("id"),
       col("embedding"),
       Functions.embedLshUdf(col("embedding")).as("bucket"))
-    val l = sigs.select(col("bucket"), col("id").as("a"), col("embedding").as("va"))
-    val r = sigs.select(col("bucket"), col("id").as("b"), col("embedding").as("vb"))
+    // mass-duplicate guard (same rationale as Dedup.minHashPairs): a vector
+    // repeated 10^9 times makes one bucket quadratic; cap and route those to
+    // exact dedup on a vector digest instead
+    val hot = sigs.groupBy("bucket").count()
+      .filter(col("count") > maxBucketSize).select("bucket")
+    val pruned = sigs.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val l = pruned.select(col("bucket"), col("id").as("a"), col("embedding").as("va"))
+    val r = pruned.select(col("bucket"), col("id").as("b"), col("embedding").as("vb"))
     l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), cosinePairCol(col("va"), col("vb")).as("cos"))

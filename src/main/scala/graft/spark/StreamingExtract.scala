@@ -33,7 +33,7 @@ object StreamingExtract {
       .schema(Schemas.pagesSchema)
       .parquet(pagesDir)
       .as[Schemas.Page]
-    val extracted = ExtractJob.extractDF(pages, numBuckets).drop("ok")
+    val extracted = ExtractJob.extractDFTyped(pages, numBuckets).drop("ok")
     extracted.writeStream
       .format("parquet")
       .option("path", outDir)

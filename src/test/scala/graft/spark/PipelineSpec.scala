@@ -237,6 +237,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(buckets.count() == 200)
   }
 
+  test("dedup: oversized LSH buckets are capped (mass-duplicate skew guard)") {
+    val sp = spark; import sp.implicits._
+    // 30 distinct docs + one text repeated 40 times (the boilerplate page)
+    val distinct = (0 until 30).map(i =>
+      (i.toLong, Synth.fixtureText(i.toLong * 104729L + 7)))
+    val mass = (100 until 140).map(i => (i.toLong, "the same boilerplate page text every time"))
+    val docs = spark.createDataset(distinct ++ mass).toDF("doc_id", "text")
+    // cap below the mass-dup count: the 40-copy bucket must not self-join
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+      minJaccard = 0.4, maxBucketSize = 10)
+    val ids = pairs.select("a", "b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!ids.exists(_ >= 100L), s"mass-dup ids leaked into LSH pairs: ${ids.filter(_ >= 100)}")
+    // and the guard reports what it dropped (16 bands x 1 hot key each)
+    val hot = Dedup.oversizedBuckets(docs, "doc_id", "text", maxBucketSize = 10)
+    assert(hot.count() == 16, "each band has exactly one oversized bucket")
+    assert(hot.agg(min("count")).head().getLong(0) == 40L)
+    // uncapped (default 10000) the same corpus yields the quadratic pairs
+    val uncapped = Dedup.minHashPairs(docs, "doc_id", "text", minJaccard = 0.4)
+    assert(uncapped.filter(col("a") >= 100L).count() == 40L * 39 / 2)
+  }
+
   test("embeddings: injected near-dup vectors found by LSH-bucketed cosine pairs") {
     val sp = spark; import sp.implicits._
     val vecs = (0 until 120).map { i =>
@@ -313,7 +335,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanned.count() > 0)
   }
 
-  test("custom operator: GraftExtractExec equals the mapPartitions path, shows in EXPLAIN") {
+  test("custom operator: GraftExtractExec equals the typed-Dataset path, shows in EXPLAIN") {
     val sp = spark; import sp.implicits._
     plans.ExtractPlan.install(spark)
     val pages = spark.createDataset(fixture.take(80)).toDF()
@@ -323,7 +345,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), "custom operator must stay narrow")
     val got = viaOp.select("url", "bucket", "kind", "text", "n_bytes")
       .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
-    val expected = ExtractJob.extractDF(spark.createDataset(fixture.take(80)), 16)
+    // independent implementation: the typed-Dataset encoder path
+    val expected = ExtractJob.extractDFTyped(spark.createDataset(fixture.take(80)), 16)
       .select("url", "bucket", "kind", "text", "n_bytes")
       .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))).toMap
     assert(got == expected)
@@ -377,6 +400,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = ExtractJob.extractDF(pages, 16).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"extractDF must stay map-side; raw html in a shuffle is the 100TB bottleneck:\n${plan.take(1500)}")
+    assert(plan.contains("GraftExtract"), "extractDF runs through the custom operator")
+    val typedPlan = ExtractJob.extractDFTyped(pages, 16).queryExecution.executedPlan.toString
+    assert(!typedPlan.contains("Exchange"), "typed path must stay map-side too")
     // search reads only url + text-bearing columns; kind/bucket/etc pruned
     val dir = tmpDir("prune")
     ExtractJob.run(spark, pages, dir, 8)
