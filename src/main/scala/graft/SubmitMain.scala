@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.spark.{ExtractJob, SearchJob, Schemas, SnapshotLog}
+import graft.kernel.SearchKernels
+
+/** Production entry point for `spark-submit` (north_rule: "run via
+  * spark-submit on a multi-executor cluster at N and 4N executors").
+  *
+  * {{{
+  * spark-submit --class graft.SubmitMain <jar> extract <pagesParquet> <tableDir> [numBuckets]
+  * spark-submit --class graft.SubmitMain <jar> search  <tableDir> <matchedDir> Field=value...
+  * }}}
+  *
+  * `extract` reads the pages table, resumes from the last committed snapshot
+  * (only pending urls are processed), runs the kernel map-side, gates on the
+  * >= 0.9 success ratio, commits a snapshot, and appends per-bucket lineage
+  * to `<tableDir>/metrics`. Idempotent: re-running after success is a no-op.
+  *
+  * `search` evaluates the reference's disjunctive field predicate over the
+  * extracted table and overwrites `matchedDir` with matching rows; field
+  * names use the reference's UI aliases ("Dealer Name", "Contract #", "VIN",
+  * "Claim #", "Search by Word" — search.py:89-99), e.g. `"Dealer Name=Quality
+  * Motors" "Search by Word=refund"`.
+  *
+  * The master URL, executor count, and memory come from spark-submit — this
+  * main sets only job-level SQL knobs (AQE on, skew join on). On a cluster,
+  * `spark.sql.shuffle.partitions` should be set to ~2-3x total cores on the
+  * submit line; the extraction itself is narrow and unaffected by it.
+  */
+object SubmitMain {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage:
+        |  extract <pagesParquet> <tableDir> [numBuckets=32]
+        |  search  <tableDir> <matchedDir> Field=value...""".stripMargin)
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) usage()
+    val spark = SparkSession.builder()
+      .appName(s"graft-${args(0)}")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      args(0) match {
+        case "extract" =>
+          val Array(_, pagesPath, tableDir) = args.take(3)
+          val buckets = if (args.length > 3) args(3).toInt else 32
+          val pages = spark.read.schema(Schemas.pagesSchema).parquet(pagesPath)
+            .as[Schemas.Page](org.apache.spark.sql.Encoders.product[Schemas.Page])
+          ExtractJob.run(spark, pages, tableDir, buckets) match {
+            case Some(id) =>
+              val m = spark.read.parquet(s"$tableDir/metrics")
+                .filter(col("snapshot_id") === id)
+                .agg(sum("doc_count"), sum("byte_count")).head()
+              println(s"committed snapshot=$id docs=${m.getLong(0)} bytes=${m.getLong(1)}")
+            case None =>
+              println("nothing pending (resume found all urls committed)")
+          }
+        case "search" =>
+          val Array(_, tableDir, matchedDir) = args.take(3)
+          val kv = args.drop(3).map { a =>
+            val i = a.indexOf('=')
+            if (i < 0) usage()
+            a.substring(0, i) -> a.substring(i + 1)
+          }.toMap
+          val params = SearchKernels.normalizeParams(kv)
+          if (params.isEmpty) usage()
+          val extracted = ExtractJob.readExtracted(spark, tableDir)
+          val urls = SearchJob.run(spark, extracted,
+            pages = extracted, params = params, matchedDir = matchedDir)
+          println(s"matched ${urls.size} documents -> $matchedDir")
+          urls.take(20).foreach(u => println(s"  $u"))
+        case _ => usage()
+      }
+    } finally spark.stop()
+  }
+}
