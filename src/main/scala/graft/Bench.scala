@@ -121,6 +121,15 @@ object Bench {
       "a03_host_stats", "q1_agg", "t01_fingerprint", "t02_dedup_exact",
       "t07_neardup_pairs", "e01_embed_topk", "j01_semi_join")
     var spark = newSession(cpusHigh)
+    // JIT warm-up: run each headline query once against the tiny sf so the
+    // timed pass measures steady-state code, not first-compile latency
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) headline.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
+      }
+    }
     val queryTimes = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
