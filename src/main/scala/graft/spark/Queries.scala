@@ -409,12 +409,13 @@ object Queries {
     }),
     "e04_embed_ivf" -> ((s, dir) => {
       // IVF coarse index: seed sample + one distributed Lloyd step, probe the
-      // 4 nearest of 16 cells (at scale: partition pruning on the cell key)
+      // 6 nearest of 16 cells (at scale: partition pruning on the cell key;
+      // nProbe trades recall for fraction-of-corpus scanned)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val cents = Embeddings.ivfTrain(emb, k = 16, iters = 1)
-      Embeddings.ivfTopK(emb, cents, q, k = 10, nProbe = 4)
+      Embeddings.ivfTopK(emb, cents, q, k = 10, nProbe = 6)
         .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),
     "t08_simhash_pairs" -> ((s, dir) => {
