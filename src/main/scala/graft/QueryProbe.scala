@@ -15,7 +15,16 @@ object QueryProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = SparkEntry.queries(name)
+    // "_scan:<path>" = scan+decompress baseline of a pages parquet (no kernel):
+    // sizes how much of the extract pass is the read itself
+    val fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      if (name.startsWith("_scan:")) {
+        val p = name.stripPrefix("_scan:")
+        (s, _) => s.read.parquet(p)
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("html"))))
+      } else SparkEntry.queries(name)
     for (i <- 1 to runs) {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()

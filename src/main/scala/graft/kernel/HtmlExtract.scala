@@ -47,6 +47,21 @@ object HtmlExtract {
     "li", "main", "nav", "ol", "p", "pre", "section", "table", "tbody",
     "td", "th", "thead", "tr", "ul")
 
+  // one hash lookup per tag instead of one per category (hot path)
+  private final val FBlock = 1
+  private final val FVoid = 2
+  private final val FIgnore = 4
+  private final val FRaw = 8
+  private val TagFlags: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer]
+    def add(names: Iterable[String], flag: Int): Unit = names.foreach { t =>
+      val cur = m.get(t)
+      m.put(t, Integer.valueOf(if (cur == null) flag else cur.intValue | flag))
+    }
+    add(BlockTags, FBlock); add(Void, FVoid); add(IgnoreZones, FIgnore); add(RawText, FRaw)
+    m
+  }
+
   def mainText(html: Array[Byte]): String =
     mainText(new String(html, StandardCharsets.UTF_8))
 
@@ -77,6 +92,19 @@ object HtmlExtract {
         if (linkDepth > 0) blockLinkChars += s.length
       }
 
+    // text-run append without the substring allocation: decode only when an
+    // entity is actually present in [start, end)
+    def appendRun(start: Int, end: Int): Unit =
+      if (ignoreDepth == 0 && end > start) {
+        val amp = html.indexOf('&', start)
+        if (amp >= 0 && amp < end)
+          appendText(decodeEntities(html.substring(start, end)))
+        else {
+          block.underlying.append(html, start, end)
+          if (linkDepth > 0) blockLinkChars += end - start
+        }
+      }
+
     var i = 0
     var textStart = 0
     while (i < n) {
@@ -84,7 +112,7 @@ object HtmlExtract {
       if (c == '<' && i + 1 < n) {
         val c1 = html.charAt(i + 1)
         if (c1 == '!') {
-          appendText(decodeEntities(html.substring(textStart, i)))
+          appendRun(textStart, i)
           if (html.startsWith("<!--", i)) {
             val end = html.indexOf("-->", i + 4)
             i = if (end < 0) n else end + 3
@@ -94,17 +122,19 @@ object HtmlExtract {
           }
           textStart = i
         } else if (c1 == '?') {
-          appendText(decodeEntities(html.substring(textStart, i)))
+          appendRun(textStart, i)
           val end = html.indexOf('>', i + 2)
           i = if (end < 0) n else end + 1
           textStart = i
         } else if (c1 == '/' || isAsciiLetter(c1)) {
-          appendText(decodeEntities(html.substring(textStart, i)))
+          appendRun(textStart, i)
           val closing = c1 == '/'
           var p = if (closing) i + 2 else i + 1
           val nameStart = p
           while (p < n && (isAsciiLetter(html.charAt(p)) || isAsciiDigit(html.charAt(p)))) p += 1
-          val name = Py.lower(html.substring(nameStart, p))
+          // names are [a-zA-Z0-9] by the scan above, so ASCII lowering is
+          // exactly Py.lower here — skip the extra pass/alloc when already lower
+          val name = lowerAsciiName(html, nameStart, p)
           // scan to tag end, honoring quoted attribute values
           var quote: Char = 0
           var end = -1
@@ -120,11 +150,13 @@ object HtmlExtract {
           val selfClosing = end > 0 && html.charAt(end - 1) == '/'
 
           if (name.nonEmpty) {
-            if (BlockTags.contains(name)) flushBlock()
-            if (!closing && !selfClosing && !Void.contains(name)) {
+            val f = TagFlags.get(name)
+            val flags = if (f == null) 0 else f.intValue
+            if ((flags & FBlock) != 0) flushBlock()
+            if (!closing && !selfClosing && (flags & FVoid) == 0) {
               if (name == "a") linkDepth += 1
-              if (IgnoreZones.contains(name)) ignoreDepth += 1
-              if (RawText.contains(name)) {
+              if ((flags & FIgnore) != 0) ignoreDepth += 1
+              if ((flags & FRaw) != 0) {
                 // consume raw content up to the matching close tag
                 val closeIdx = indexOfIgnoreCase(html, "</" + name, i)
                 i = if (closeIdx < 0) n
@@ -133,11 +165,11 @@ object HtmlExtract {
                       if (gt < 0) n else gt + 1
                     }
                 textStart = i
-                if (IgnoreZones.contains(name)) ignoreDepth -= 1
+                if ((flags & FIgnore) != 0) ignoreDepth -= 1
               }
             } else if (closing) {
               if (name == "a" && linkDepth > 0) linkDepth -= 1
-              if (IgnoreZones.contains(name) && ignoreDepth > 0) ignoreDepth -= 1
+              if ((flags & FIgnore) != 0 && ignoreDepth > 0) ignoreDepth -= 1
             }
           }
         } else {
@@ -145,9 +177,28 @@ object HtmlExtract {
         }
       } else i += 1
     }
-    appendText(decodeEntities(html.substring(textStart, n)))
+    appendRun(textStart, n)
     flushBlock()
     out.toString
+  }
+
+  private def lowerAsciiName(s: String, a: Int, b: Int): String = {
+    var i = a
+    var anyUpper = false
+    while (i < b && !anyUpper) {
+      val c = s.charAt(i); if (c >= 'A' && c <= 'Z') anyUpper = true; i += 1
+    }
+    if (!anyUpper) s.substring(a, b)
+    else {
+      val arr = new Array[Char](b - a)
+      var j = 0
+      while (j < b - a) {
+        val c = s.charAt(a + j)
+        arr(j) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        j += 1
+      }
+      new String(arr)
+    }
   }
 
   private def isAsciiLetter(c: Char): Boolean =
