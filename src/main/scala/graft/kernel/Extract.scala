@@ -75,26 +75,36 @@ object Extract {
     */
   def extract(html: Array[Byte], preExtracted: String): Result = {
     try {
-      sniff(html) match {
-        case KindHtml =>
-          Result(KindHtml, Vector(HtmlExtract.mainText(html)), ok = true)
-        case KindPdfDigital =>
-          val doc = PdfLite.parse(html)
-          Result(KindPdfDigital, doc.pages.map(PdfLite.pageText), ok = true)
-        case KindPdfScanned if PdfLite.hasMagic(html) =>
-          val pages =
-            try PdfLite.parse(html).pages.map(p => p.raster.map(Ocr.decode).getOrElse(""))
-            catch { case scala.util.control.NonFatal(_) => Vector.empty[String] }
-          Result(KindPdfScanned, pages, ok = true)
-        case KindPdfScanned =>
-          Result(KindPdfScanned, Vector(Ocr.decode(html)), ok = true)
-        case KindEmpty if html == null || html.isEmpty =>
-          if (preExtracted != null && preExtracted.nonEmpty)
-            Result(KindText, Vector(preExtracted), ok = true)
-          else Result(KindEmpty, Vector.empty, ok = true)
-        case _ =>
-          Result(KindEmpty, Vector.empty, ok = true)
-      }
+      // Same dispatch as sniff(), but PDFs parse and lay out ONCE: the probe
+      // (embeddedTextLen early-exits past the limit, so `partial > 50` equals
+      // `fullSum > 50`) and the digital extraction share the laid-out pages.
+      // sniff() itself remains the column-level kind classifier.
+      if (html == null || html.isEmpty) {
+        if (preExtracted != null && preExtracted.nonEmpty)
+          Result(KindText, Vector(preExtracted), ok = true)
+        else Result(KindEmpty, Vector.empty, ok = true)
+      } else if (PdfLite.hasMagic(html)) {
+        val parsed =
+          try Some(PdfLite.parse(html))
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed match {
+          case None =>
+            // unparseable PDF routes to the scanned kind with no pages
+            // (extractor.py:35-37 + per-page failure to "")
+            Result(KindPdfScanned, Vector.empty, ok = true)
+          case Some(doc) =>
+            val texts = doc.pages.map(PdfLite.pageText)
+            var total = 0
+            texts.foreach(t => total += t.length)
+            if (total > MinTextLength) Result(KindPdfDigital, texts, ok = true)
+            else Result(KindPdfScanned,
+              doc.pages.map(p => p.raster.map(Ocr.decode).getOrElse("")), ok = true)
+        }
+      } else if (Raster.hasMagic(html)) {
+        Result(KindPdfScanned, Vector(Ocr.decode(html)), ok = true)
+      } else if (looksHtml(html)) {
+        Result(KindHtml, Vector(HtmlExtract.mainText(html)), ok = true)
+      } else Result(KindEmpty, Vector.empty, ok = true)
     } catch {
       case scala.util.control.NonFatal(_) => Result(KindEmpty, Vector.empty, ok = false)
     }
