@@ -76,6 +76,30 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** One pass at a parallelism level in a fresh session (JIT and page cache
+    * persist across sessions in this JVM, so back-to-back passes stay warm).
+    */
+  private def onePass(cpus: Int, pagesPath: String): (Long, Long, Double) = {
+    val spark = newSession(cpus)
+    try extractPass(spark, pagesPath, buckets = cpus * 4) finally spark.stop()
+  }
+
+  /** The N / 4N scaling pair, measured INTERLEAVED (N,4N, N,4N, N,4N after one
+    * warm-up each): the sandbox host occasionally suffers sustained multi-
+    * minute contention windows, and with block-ordered passes such a window
+    * lands entirely on one level and skews the efficiency ratio both ways.
+    * Interleaving makes adjacent passes share the same host weather; min per
+    * level then estimates each level's uncontended cost.
+    */
+  private def scalingPair(scaleN: Int, scale4N: Int, pagesPath: String): (Double, Double) = {
+    onePass(scaleN, pagesPath) // warm-ups (low level first: JIT bias lowers
+    onePass(scale4N, pagesPath) // the reported efficiency, never raises it)
+    val passes = (1 to 3).map { _ =>
+      (onePass(scaleN, pagesPath)._3, onePass(scale4N, pagesPath)._3)
+    }
+    (passes.map(_._1).min, passes.map(_._2).min)
+  }
+
   /** Fault the heap in before timing anything: the sandbox VM backs JVM heap
     * pages lazily via the hypervisor, and first-touch faults inside a measured
     * pass dominate the measurement (observed 26 s vs 4 s for the same
@@ -141,12 +165,9 @@ object Bench {
     materializePages(spark, sfDir, mult, docRep, pagesPath)
     spark.stop()
 
-    // scaling: warm-up + min-of-3 extraction at N then 4N on identical input
-    // (order puts any residual JIT advantage on the LOW side, biasing the
-    // reported efficiency down, never up); plus a headline throughput pass
-    // at the full core count
-    val (_, _, secL) = measuredThroughput(scaleN, pagesPath)
-    val (_, _, sec4N) = measuredThroughput(scale4N, pagesPath)
+    // scaling: interleaved N/4N passes (see scalingPair), then a headline
+    // min-of-3 throughput pass at the full core count
+    val (secL, sec4N) = scalingPair(scaleN, scale4N, pagesPath)
     val (docs, bytes, secH) = measuredThroughput(cpusHigh, pagesPath)
 
     // search throughput over the extracted corpus (F7 kernel predicate);
