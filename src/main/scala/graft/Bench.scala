@@ -105,13 +105,30 @@ object Bench {
     * pass dominate the measurement (observed 26 s vs 4 s for the same
     * local[16] extraction). Equivalent to -Xms=-Xmx -XX:+AlwaysPreTouch
     * (set in build.sbt) but independent of how this main is launched.
+    *
+    * Hardened after round 1: the driver's bench died with an OOM escaping from
+    * `held.clear()` (only the fill loop was inside the catch), nulling
+    * BENCH_r01. Now (a) skipped entirely when -Xms==-Xmx +AlwaysPreTouch is
+    * already in force (sbt-forked runs — the JVM pre-touched at startup),
+    * (b) capped 4 GiB below maxMemory so G1 always has headroom, (c) region-
+    * sized 16 MiB chunks, (d) the WHOLE body sits inside catch(Throwable).
     */
   private def preTouchHeap(): Unit = {
-    val target = (Runtime.getRuntime.maxMemory * 0.7).toLong
-    val chunk = 64 << 20
-    val held = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var total = 0L
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+    val alreadyPreTouched = jvmArgs.exists(_.contains("+AlwaysPreTouch")) && {
+      val xms = jvmArgs.collectFirst { case a if a.startsWith("-Xms") => a.drop(4) }
+      val xmx = jvmArgs.collectFirst { case a if a.startsWith("-Xmx") => a.drop(4) }
+      xms.isDefined && xms == xmx
+    }
+    if (alreadyPreTouched) return
     try {
+      val max = Runtime.getRuntime.maxMemory
+      val target = math.min((max * 0.7).toLong, math.max(0L, max - (4L << 30)))
+      val chunk = 16 << 20
+      val held = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var total = 0L
       while (total < target) {
         val a = new Array[Byte](chunk)
         var i = 0
@@ -119,12 +136,36 @@ object Bench {
         held += a
         total += chunk
       }
-    } catch { case _: OutOfMemoryError => () }
-    held.clear() // pages stay OS-resident; G1 keeps them committed
+      held.clear() // pages stay OS-resident; G1 keeps them committed
+    } catch { case _: Throwable => () } // best-effort: never kill the bench
   }
 
-  def main(args: Array[String]): Unit = {
-    preTouchHeap()
+  /** Contract: always prints exactly one JSON line, even on total failure —
+    * round 1's driver bench returned parsed:null because a pre-phase OOM
+    * escaped main. `run` fences each phase; this catches anything left.
+    */
+  def main(args: Array[String]): Unit =
+    try run() catch {
+      case t: Throwable =>
+        val msg = (s"${t.getClass.getName}: " + String.valueOf(t.getMessage))
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+        println(s"""{"metric":"extract_docs_per_sec","value":0.0,""" +
+          s""""unit":"docs/sec","queries":{},"sf":"unknown","errors":["fatal: $msg"]}""")
+    }
+
+  private def run(): Unit = {
+    // Each phase is fenced; failures land in "errors" and downstream numbers
+    // degrade to 0 instead of aborting.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    def phase[T](name: String, default: => T)(body: => T): T =
+      try body catch {
+        case t: Throwable =>
+          errors += s"$name: ${t.getClass.getSimpleName}: " +
+            String.valueOf(t.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+          default
+      }
+
+    phase("pretouch", ())(preTouchHeap())
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // N vs 4N scaling pair: defaults to 4 -> 16 so both levels run on
@@ -144,73 +185,91 @@ object Bench {
       "x05_extract_all", "x02_html_extract", "s05_search_multi", "a02_lineage",
       "a03_host_stats", "q1_agg", "t01_fingerprint", "t02_dedup_exact",
       "t07_neardup_pairs", "e01_embed_topk", "j01_semi_join")
-    var spark = newSession(cpusHigh)
-    // JIT warm-up: run each headline query once against the tiny sf so the
-    // timed pass measures steady-state code, not first-compile latency
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) headline.foreach { name =>
-      SparkEntry.queries.get(name).foreach { fn =>
-        try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
-      }
+    val queryTimes = phase("headline", Seq.empty[(String, Double)]) {
+      val spark = newSession(cpusHigh)
+      try {
+        // JIT warm-up: run each headline query once against the tiny sf so the
+        // timed pass measures steady-state code, not first-compile latency
+        val warmDir = "/root/testdata/sf0.001"
+        if (new java.io.File(warmDir).isDirectory) headline.foreach { name =>
+          SparkEntry.queries.get(name).foreach { fn =>
+            try fn(spark, warmDir).write.mode("overwrite").format("noop").save()
+            catch { case _: Throwable => () }
+          }
+        }
+        headline.flatMap { name =>
+          SparkEntry.queries.get(name).map { fn =>
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+            catch { case e: Throwable => errors += s"query $name: $e" }
+            name -> (System.nanoTime() - t0) / 1e9
+          }
+        }
+      } finally spark.stop()
     }
-    val queryTimes = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+
+    val pagesOk = phase("materialize", false) {
+      val spark = newSession(cpusHigh)
+      try { materializePages(spark, sfDir, mult, docRep, pagesPath); true }
+      finally spark.stop()
     }
-    materializePages(spark, sfDir, mult, docRep, pagesPath)
-    spark.stop()
 
     // scaling: interleaved N/4N passes (see scalingPair), then a headline
     // min-of-3 throughput pass at the full core count
-    val (secL, sec4N) = scalingPair(scaleN, scale4N, pagesPath)
-    val (docs, bytes, secH) = measuredThroughput(cpusHigh, pagesPath)
+    val (secL, sec4N) =
+      if (!pagesOk) (0.0, 0.0)
+      else phase("scaling", (0.0, 0.0))(scalingPair(scaleN, scale4N, pagesPath))
+    val (docs, bytes, secH) =
+      if (!pagesOk) (0L, 0L, 0.0)
+      else phase("throughput", (0L, 0L, 0.0))(measuredThroughput(cpusHigh, pagesPath))
 
     // search throughput over the extracted corpus (F7 kernel predicate);
     // the reference rescans every JSON blob per search (search.py:117-126) —
     // here it is a column-pruned parquet scan + codegen'd filter
-    val searchSession = newSession(cpusHigh)
     val (searchDocs, searchSec) =
-      try {
-        import searchSession.implicits._
-        val extractedPath = "/root/repo/target/bench_extracted"
-        val pages = searchSession.read.schema(graft.spark.Schemas.pagesSchema)
-          .parquet(pagesPath).as[graft.spark.Schemas.Page]
-        graft.spark.ExtractJob.extractDF(pages, 128).drop("ok")
-          .write.mode("overwrite").parquet(extractedPath)
-        val extracted = searchSession.read.parquet(extractedPath)
-        val params = graft.kernel.SearchKernels.SearchParams(
-          dealer = Some("quality"), any = Some("data"))
-        graft.spark.SearchJob.matches(extracted, params).count() // warm-up
-        val t0 = System.nanoTime()
-        val n = extracted.count()
-        graft.spark.SearchJob.matches(extracted, params).count()
-        (n, (System.nanoTime() - t0) / 1e9)
-      } finally searchSession.stop()
+      if (!pagesOk) (0L, 0.0)
+      else phase("search", (0L, 0.0)) {
+        val searchSession = newSession(cpusHigh)
+        try {
+          import searchSession.implicits._
+          val extractedPath = "/root/repo/target/bench_extracted"
+          val pages = searchSession.read.schema(graft.spark.Schemas.pagesSchema)
+            .parquet(pagesPath).as[graft.spark.Schemas.Page]
+          graft.spark.ExtractJob.extractDF(pages, 128).drop("ok")
+            .write.mode("overwrite").parquet(extractedPath)
+          val extracted = searchSession.read.parquet(extractedPath)
+          val params = graft.kernel.SearchKernels.SearchParams(
+            dealer = Some("quality"), any = Some("data"))
+          val n = extracted.count() // numerator only — NOT in the timed window
+          graft.spark.SearchJob.matches(extracted, params).count() // warm-up
+          val t0 = System.nanoTime()
+          graft.spark.SearchJob.matches(extracted, params).count()
+          (n, (System.nanoTime() - t0) / 1e9)
+        } finally searchSession.stop()
+      }
 
-    val thruHigh = docs / secH
-    val thruN = docs / secL
-    val thru4N = docs / sec4N
-    val mbH = bytes / 1e6 / secH
-    val efficiency = (thru4N / thruN) / 4.0
+    def ratio(num: Double, den: Double): Double = if (den > 0) num / den else 0.0
+    val thruHigh = ratio(docs.toDouble, secH)
+    val thruN = ratio(docs.toDouble, secL)
+    val thru4N = ratio(docs.toDouble, sec4N)
+    val mbH = ratio(bytes / 1e6, secH)
+    val efficiency = ratio(thru4N, thruN) / 4.0
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum + secH + secL + sec4N
     println(
       s"""{"metric":"extract_docs_per_sec","value":${f"$thruHigh%.1f"},"unit":"docs/sec",""" +
       s""""queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.2f"},""" +
+      s""""errors":$errJson,""" +
       s""""extract":{"docs":$docs,"payload_mb":${f"${bytes / 1e6}%.1f"},""" +
       s""""cpus_max":$cpusHigh,"scale_n":$scaleN,"scale_4n":$scale4N,""" +
       s""""sec_max":${f"$secH%.2f"},"sec_n":${f"$secL%.2f"},"sec_4n":${f"$sec4N%.2f"},""" +
       s""""docs_per_sec_max":${f"$thruHigh%.1f"},""" +
       s""""docs_per_sec_n":${f"$thruN%.1f"},"docs_per_sec_4n":${f"$thru4N%.1f"},""" +
       s""""mb_per_sec_max":${f"$mbH%.1f"},""" +
-      s""""search_docs_per_sec":${f"${searchDocs / searchSec}%.1f"},""" +
+      s""""search_docs_per_sec":${f"${ratio(searchDocs.toDouble, searchSec)}%.1f"},""" +
       s""""scaling_efficiency":${f"$efficiency%.3f"}}}""")
   }
 }

@@ -34,8 +34,9 @@ object SubmitMain {
   private def usage(): Nothing = {
     System.err.println(
       """usage:
-        |  extract <pagesParquet> <tableDir> [numBuckets=32]
-        |  search  <tableDir> <matchedDir> Field=value...""".stripMargin)
+        |  extract <pagesParquet> <tableDir> [numBuckets=32] [--force]
+        |  search  <tableDir> <matchedDir> Field=value...
+        |  bundle  <matchedDir> <bundleDir>""".stripMargin)
     sys.exit(2)
   }
 
@@ -51,10 +52,14 @@ object SubmitMain {
       args(0) match {
         case "extract" =>
           val Array(_, pagesPath, tableDir) = args.take(3)
-          val buckets = if (args.length > 3) args(3).toInt else 32
+          val rest = args.drop(3)
+          // --force = the reference's extractDocuments=true (claim.py:34):
+          // re-extract ALL urls and replace the table contents
+          val force = rest.contains("--force")
+          val buckets = rest.filterNot(_ == "--force").headOption.map(_.toInt).getOrElse(32)
           val pages = spark.read.schema(Schemas.pagesSchema).parquet(pagesPath)
             .as[Schemas.Page](org.apache.spark.sql.Encoders.product[Schemas.Page])
-          ExtractJob.run(spark, pages, tableDir, buckets) match {
+          ExtractJob.run(spark, pages, tableDir, buckets, force) match {
             case Some(id) =>
               val m = spark.read.parquet(s"$tableDir/metrics")
                 .filter(col("snapshot_id") === id)
@@ -73,10 +78,19 @@ object SubmitMain {
           val params = SearchKernels.normalizeParams(kv)
           if (params.isEmpty) usage()
           val extracted = ExtractJob.readExtracted(spark, tableDir)
-          val urls = SearchJob.run(spark, extracted,
+          val res = SearchJob.run(spark, extracted,
             pages = extracted, params = params, matchedDir = matchedDir)
-          println(s"matched ${urls.size} documents -> $matchedDir")
-          urls.take(20).foreach(u => println(s"  $u"))
+          println(s"matched ${res.count} documents -> $matchedDir")
+          res.sample.foreach(u => println(s"  $u"))
+        case "bundle" =>
+          // S6 analog (claim.py:79-94 zip-download sink): collapse the matched
+          // table into ONE artifact file for handoff. coalesce(1) is the point
+          // here — a download is a single stream — never use this shape for the
+          // corpus-sized tables.
+          val Array(_, matchedDir, bundleDir) = args.take(3)
+          spark.read.parquet(matchedDir).coalesce(1)
+            .write.mode("overwrite").parquet(bundleDir)
+          println(s"bundled $matchedDir -> $bundleDir (single artifact)")
         case _ => usage()
       }
     } finally spark.stop()

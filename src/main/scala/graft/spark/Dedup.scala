@@ -62,13 +62,20 @@ object Dedup {
     val r = pruned.select(col("band"), col("key"), col("id").as("b"), col("sig").as("sig_b"))
     val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
       graft.kernel.TextStats.minHashJaccard(a.toArray, b.toArray))
-    l.join(r, Seq("band", "key"))
+    val pairs = l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), jacUdf(col("sig_a"), col("sig_b")).as("jac"))
       .filter(col("jac") >= minJaccard)
       .groupBy("a", "b")
       .agg(max("jac").as("jac"))
       .select(col("a"), col("b"), (col("jac") * 1000).cast("long").as("jac_permille"))
+    // Materialize the (small) pair set eagerly, then release the signature
+    // cache — otherwise every call leaks a MEMORY_AND_DISK relation for the
+    // session lifetime. localCheckpoint blocks are owned by the returned DF's
+    // RDD and reclaimed by the ContextCleaner when it is dereferenced.
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** The LSH band buckets larger than `maxBucketSize` — what [[minHashPairs]]
@@ -84,27 +91,37 @@ object Dedup {
       .groupBy("band", "key").count()
       .filter(col("count") > maxBucketSize)
 
-  /** SimHash near-dups: pairs within `maxHamming`, candidate-bucketed by the top
-    * 16 signature bits (documents this close almost always share them; at scale
-    * one would repeat over rotated signatures — noted, single probe here).
-    * Same mass-duplicate bucket cap as [[minHashPairs]].
+  /** SimHash near-dups: all pairs within `maxHamming`, multi-probe bucketed.
+    *
+    * The 64-bit signature is split into four 16-bit blocks; by pigeonhole, a
+    * pair with Hamming distance <= 3 differs in at most 3 blocks, so it agrees
+    * EXACTLY on at least one — probing all four (probe#, block-value) buckets
+    * therefore has perfect recall at maxHamming <= 3 (the round-1 single
+    * top-16-bit probe missed pairs whose differing bits fell in the top block).
+    * Cost is 4 bucket rows per doc, still O(docs), never all-pairs. Same
+    * mass-duplicate bucket cap as [[minHashPairs]]; duplicate discoveries
+    * across probes collapse in the final (a, b) aggregate.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val sigs = docs.select(col(idCol).cast("long").as("id"),
       Functions.simHashUdf(col(textCol)).as("sim"))
-      .withColumn("bucket", shiftrightunsigned(col("sim"), 48))
-    val hot = sigs.groupBy("bucket").count()
-      .filter(col("count") > maxBucketSize).select("bucket")
-    val pruned = sigs.join(broadcast(hot), Seq("bucket"), "left_anti")
-    val l = pruned.select(col("bucket"), col("id").as("a"), col("sim").as("sim_a"))
-    val r = pruned.select(col("bucket"), col("id").as("b"), col("sim").as("sim_b"))
+    val blocks = array((0 until 4).map(i =>
+      shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val banded = sigs.select(col("id"), col("sim"),
+      posexplode(blocks).as(Seq("probe", "bucket")))
+    val hot = banded.groupBy("probe", "bucket").count()
+      .filter(col("count") > maxBucketSize).select("probe", "bucket")
+    val pruned = banded.join(broadcast(hot), Seq("probe", "bucket"), "left_anti")
+    val l = pruned.select(col("probe"), col("bucket"), col("id").as("a"), col("sim").as("sim_a"))
+    val r = pruned.select(col("probe"), col("bucket"), col("id").as("b"), col("sim").as("sim_b"))
     val hamUdf = udf((x: Long, y: Long) => graft.kernel.TextStats.hammingDist(x, y))
-    l.join(r, Seq("bucket"))
+    l.join(r, Seq("probe", "bucket"))
       .filter(col("a") < col("b"))
       .withColumn("hamming", hamUdf(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+      .groupBy("a", "b")
+      .agg(min("hamming").as("hamming"))
   }
 
   /** Exact n-gram Jaccard for a candidate pair set (verification pass after LSH). */

@@ -65,10 +65,14 @@ object Embeddings {
     */
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double,
       maxBucketSize: Int = 10000): DataFrame = {
+    // persisted: the plan reads this subtree four times (hot-bucket agg + both
+    // join sides + the anti-join build) — unpersisted the corpus would be
+    // scanned and LSH-hashed 4x (round-1 plan audit showed exactly that)
     val sigs = embeddings.select(
       col("vec_id").cast("long").as("id"),
       col("embedding"),
       Functions.embedLshUdf(col("embedding")).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // mass-duplicate guard (same rationale as Dedup.minHashPairs): a vector
     // repeated 10^9 times makes one bucket quadratic; cap and route those to
     // exact dedup on a vector digest instead
@@ -77,13 +81,18 @@ object Embeddings {
     val pruned = sigs.join(broadcast(hot), Seq("bucket"), "left_anti")
     val l = pruned.select(col("bucket"), col("id").as("a"), col("embedding").as("va"))
     val r = pruned.select(col("bucket"), col("id").as("b"), col("embedding").as("vb"))
-    l.join(r, Seq("bucket"))
+    val pairs = l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), cosinePairCol(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCosine)
       .groupBy("a", "b") // a pair can collide in several buckets at scale
       .agg(max("cos").as("cos"))
       .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cosine_ppm"))
+    // materialize the (small) pair set, then release the signature cache —
+    // same lifecycle as Dedup.minHashPairs: nothing cached outlives the call
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** Corpus with deterministic near-duplicate vectors injected (vec_id+offset,
@@ -156,20 +165,54 @@ object Embeddings {
   def ivfAssign(embeddings: DataFrame, cents: Array[Array[Float]]): DataFrame =
     embeddings.withColumn("cell", nearestCellUdf(cents)(col("embedding")))
 
-  /** IVF probe: rank cells by centroid cosine on the driver (k is tiny), scan
-    * only the `nProbe` best cells, brute-force inside them. At scale the
-    * embeddings table is written partitioned by `cell`, so this filter is
-    * partition pruning — the probe reads nProbe/k of the corpus.
+  /** The `nProbe` cells nearest the query, ranked by centroid cosine on the
+    * driver (k is tiny — this is the IVF coarse-quantizer lookup).
     */
-  def ivfTopK(embeddings: DataFrame, cents: Array[Array[Float]],
-      q: Array[Float], k: Int, nProbe: Int): DataFrame = {
-    val probeCells = cents.zipWithIndex
+  def probeCells(cents: Array[Array[Float]], q: Array[Float], nProbe: Int): Array[Int] =
+    cents.zipWithIndex
       .map { case (c, i) => (graft.kernel.TextStats.cosine(q, c), i) }
       .sortBy { case (cos, i) => (-cos, i) }
       .take(nProbe)
       .map(_._2)
+
+  /** IVF probe computing assignments on the fly — the index-BUILD-time shape
+    * (it scans the whole corpus). Serving queries at scale must go through a
+    * materialized index ([[ivfBuildIndex]] + [[ivfTopKIndexed]]) instead.
+    */
+  def ivfTopK(embeddings: DataFrame, cents: Array[Array[Float]],
+      q: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val cells = probeCells(cents, q, nProbe)
     val candidates = ivfAssign(embeddings, cents)
-      .filter(col("cell").isin(probeCells.toSeq: _*))
+      .filter(col("cell").isin(cells.toSeq: _*))
+      .drop("cell")
+    bruteForceTopK(candidates, q, k)
+  }
+
+  /** Materialize the IVF index: cell assignment written `partitionBy("cell")` —
+    * the on-disk layout that turns a probe's cell filter into parquet
+    * PARTITION PRUNING, so a probe reads ~nProbe/k of the corpus instead of
+    * scanning and re-assigning all of it (round 1's e04 plan did the latter).
+    * Idempotent: skipped when the index's _SUCCESS marker already exists.
+    */
+  def ivfBuildIndex(embeddings: DataFrame, cents: Array[Array[Float]],
+      path: String): Unit = {
+    val spark = embeddings.sparkSession
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(success)) return
+    ivfAssign(embeddings, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** IVF probe against a materialized index: the cell filter is satisfied by
+    * directory pruning (`PartitionFilters: cell IN (...)` in the scan), never
+    * touching the non-probed cells' files.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      cents: Array[Array[Float]], q: Array[Float], k: Int, nProbe: Int): DataFrame = {
+    val cells = probeCells(cents, q, nProbe)
+    val candidates = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(cells.toSeq: _*))
       .drop("cell")
     bruteForceTopK(candidates, q, k)
   }

@@ -87,12 +87,19 @@ object ExtractJob {
 
   /** Full job against a snapshot-logged table: resume, extract pending, gate,
     * commit, lineage. Returns the committed snapshot id (None = nothing pending).
+    *
+    * `force = true` is the reference's `extractDocuments=true` re-extract mode
+    * (claim.py:34: unconditionally re-runs extraction over ALL files,
+    * overwriting the batch JSONs): the resume anti-join is skipped and the
+    * commit REPLACES the table contents instead of appending — needed whenever
+    * the kernel changes and the corpus must be re-derived.
     */
   def run(
       spark: SparkSession,
       pages: Dataset[Schemas.Page],
       tableDir: String,
-      numBuckets: Int = 32): Option[Long] = {
+      numBuckets: Int = 32,
+      force: Boolean = false): Option[Long] = {
     import spark.implicits._
     val log = new SnapshotLog(tableDir)
     val t0 = System.nanoTime()
@@ -101,8 +108,12 @@ object ExtractJob {
     // all-or-nothing JSON-folder probe at claim.py:17-20)
     // plain anti-join: AQE picks broadcast vs shuffle from runtime stats, and at
     // 100 TB the done side is too big to force-broadcast anyway
-    val done = log.scan(spark, Schemas.extractedSchema).select("url")
-    val pending = pages.join(done, Seq("url"), "left_anti").as[Schemas.Page]
+    val pending =
+      if (force) pages
+      else {
+        val done = log.scan(spark, Schemas.extractedSchema).select("url")
+        pages.join(done, Seq("url"), "left_anti").as[Schemas.Page]
+      }
 
     val snapshotId = log.nextSnapshotId()
     val obs = Observation(s"gate-$snapshotId")
@@ -125,7 +136,7 @@ object ExtractJob {
       throw GateFailed(ok, total)
     }
 
-    log.commit(snapshotId)
+    if (force) log.commitReplace(snapshotId) else log.commit(snapshotId)
 
     // A3 lineage: per-bucket doc/byte counts + order-insensitive checksum
     // (bit_xor of per-row xxhash64 — partition-internal order cannot matter)

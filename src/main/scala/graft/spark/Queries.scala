@@ -162,7 +162,72 @@ object Queries {
       """SELECT doc_id, CAST(64 + (doc_id % 32) * 2 AS BIGINT) AS n_samples,
         |  CAST((64 + (doc_id % 32) * 2 - 2) // 2 AS BIGINT) AS zero_crossings,
         |  CAST(1 + doc_id % 100 AS BIGINT) AS mean_abs
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // k01: both kernel regex passes over the planted "vin: <17-char VIN>" doc —
+    // the line pass yields the VIN, the raw pass yields N+VIN (see registry note)
+    "k01_vin_candidates" ->
+      """SELECT doc_id, vin FROM (
+        |  SELECT doc_id, '1HGCM82633A' || CAST(doc_id % 900000 + 100000 AS VARCHAR) AS vin
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'N1HGCM82633A' || CAST(doc_id % 900000 + 100000 AS VARCHAR) AS vin
+        |  FROM documents)
+        |ORDER BY doc_id, vin""".stripMargin,
+    "k02_search_flags" ->
+      """SELECT doc_id, doc_id % 3 <> 0 AS m_contract, true AS m_dealer,
+        |  true AS m_vin, doc_id % 2 = 1 AS m_any
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // k03: prefix pair => difflib ratio = 2*la/(2*la+lj), identical double ops
+    "k03_fuzzy_ratio" ->
+      """SELECT doc_id, CAST(floor((2.0 * (doc_id % 20 + 10)
+        |  / (2 * (doc_id % 20 + 10) + (doc_id % 7 + 1))) * 1000000) AS BIGINT) AS ratio_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_lang_id" ->
+      """SELECT doc_id, CASE doc_id % 6 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+        |  WHEN 2 THEN 'fr' WHEN 3 THEN 'es' WHEN 4 THEN 'zh' ELSE 'und' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // t09: trigram-set Jaccard of (doc, doc minus last word) — set arithmetic
+    "t09_jaccard_verify" ->
+      """WITH p AS (
+        |  SELECT doc_id, lower(text) AS ta,
+        |    lower(regexp_replace(text, '\s+\S+$', '')) AS tb
+        |  FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        |), w AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(ta), '\s+') AS wa,
+        |    string_split_regex(trim(tb), '\s+') AS wb
+        |  FROM p
+        |), tri AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(wa) - 1),
+        |      i -> wa[i] || ' ' || wa[i+1] || ' ' || wa[i+2])) AS sa,
+        |    list_distinct(list_transform(range(1, len(wb) - 1),
+        |      i -> wb[i] || ' ' || wb[i+1] || ' ' || wb[i+2])) AS sb
+        |  FROM w
+        |)
+        |SELECT doc_id AS a, doc_id + 1000000 AS b,
+        |  CAST(floor(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+        |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) * 1000) AS BIGINT)
+        |    AS jac_exact_permille
+        |FROM tri ORDER BY a, b""".stripMargin,
+    // e05: integer-valued vectors => exact dot/norms, correctly-rounded
+    // sqrt/divide — bit-identical cosine in both engines (see registry note)
+    "e05_embed_cosine" ->
+      """WITH v AS (
+        |  SELECT doc_id AS vec_id,
+        |    list_transform(range(3, 11), i -> CAST((doc_id * i) % 11 AS DOUBLE)) AS e
+        |  FROM documents
+        |), c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_sum(list_transform(e, x -> x * x)) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(range(1, 9), j -> e[j] * (j + 2)))
+        |              / (sqrt(list_sum(list_transform(e, x -> x * x))) * sqrt(380.0))
+        |    END AS cosine
+        |  FROM v
+        |)
+        |SELECT vec_id, CAST(floor(cosine * 1000000) AS BIGINT) AS cosine_ppm
+        |FROM c ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   )
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -343,38 +408,67 @@ object Queries {
         .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
         .orderBy("doc_id")
     }),
-    // ---- rows-only (kernel fidelity covered by ScalaTest byte-identity) ----
+    // ---- kernel queries over PLANTED inputs (oracle = DuckDB arithmetic) ----
+    // The inputs are synthesized from doc_id alone so the expected output is a
+    // pure SQL expression; CPython byte-fidelity on arbitrary text is anchored
+    // in the ScalaTest suites (KernelSpec difflib/VIN/keyword constants).
     "k01_vin_candidates" -> ((s, dir) => {
-      val text2 = concat(col("text"), lit(" VIN: 1HGCM82633A"),
-        (col("doc_id") % 900000 + 100000).cast("string"))
+      // planted doc: "vin: 1HGCM82633A<6 digits>". The kernel's TWO regex
+      // passes each surface a candidate: the VIN-line pass captures the exact
+      // 17-char VIN; the raw pass starts at the N of "VIN" (V is rejected —
+      // 'I' follows, outside the VIN alphabet) and strips to N+VIN. The oracle
+      // reproduces both, verifying pass order, stripping, and dedup.
+      val num = (col("doc_id") % 900000 + 100000).cast("string")
+      val text2 = concat(lit("vin: 1HGCM82633A"), num)
       docs(s, dir).select(col("doc_id"),
         Functions.vinCandidatesUdf(text2).as("cands"))
         .select(col("doc_id"), explode(col("cands")).as("vin"))
         .orderBy("doc_id", "vin")
     }),
     "k02_search_flags" -> ((s, dir) => {
-      val text2 = concat(col("text"),
-        lit("\nContract # "), (col("doc_id") + 700000).cast("string"),
-        lit("\nDealer: Quality Motors 42\nVIN: 1HGCM82633A123456\n"))
+      // planted doc exercising all four field kernels; contract and any-word
+      // flags VARY with doc_id so the oracle checks real predicate output
+      val contractPlanted =
+        when(col("doc_id") % 3 =!= 0, col("doc_id") + 700000)
+          .otherwise(col("doc_id") + 800000).cast("string")
+      val text2 = concat(
+        lit("Contract # "), contractPlanted,
+        lit("\nDealer: Quality Motors 42\nneedle"), (col("doc_id") % 2).cast("string"),
+        lit("\nvin: 1HGCM82633A123456"))
       docs(s, dir).select(col("doc_id"),
         Functions.keywordNumberHitUdf(text2, lit("Contract"),
           (col("doc_id") + 700000).cast("string")).as("m_contract"),
         Functions.dealerHitUdf(text2, lit("quality motors")).as("m_dealer"),
         Functions.vinHitUdf(text2, lit("1HGCM82633A123456")).as("m_vin"),
-        text2.contains("data").as("m_any"))
+        text2.contains("needle1").as("m_any"))
         .orderBy("doc_id")
     }),
     "k03_fuzzy_ratio" -> ((s, dir) => {
-      // native Catalyst expression (whole-stage codegen), not a UDF — §2.8
+      // native Catalyst expression (whole-stage codegen), not a UDF — §2.8.
+      // Planted prefix pair a="x"*la, b=a+"z"*lj: difflib's matching blocks
+      // are exactly the prefix, so ratio = 2*la/(2*la+lj) — SQL arithmetic.
       Expressions.register(s)
-      val a = Functions.vinNormalize(substring(col("text"), 1, 20))
-      val b = Functions.vinNormalize(substring(col("text"), 3, 20))
+      val la = (col("doc_id") % 20 + 10).cast("int")
+      val lj = (col("doc_id") % 7 + 1).cast("int")
+      val a = repeat(lit("x"), la)
+      val b = concat(a, repeat(lit("z"), lj))
       docs(s, dir).select(col("doc_id"),
         (Expressions.roRatio(a, b) * 1000000).cast("long").as("ratio_ppm"))
         .orderBy("doc_id")
     }),
     "t05_lang_id" -> ((s, dir) => {
-      docs(s, dir).select(col("doc_id"), Functions.langIdUdf(col("text")).as("lang_pred"))
+      // per-language sentences built from the kernel's own stopword profiles
+      // (disjoint word choices so each profile scores 5-0), plus CJK and
+      // no-stopword rows — the predicted label is a pure function of doc_id
+      val text2 = element_at(array(
+        lit("the and of to in"),      // en
+        lit("der die das und ist"),   // de
+        lit("le les et est dans"),    // fr
+        lit("el los las una para"),   // es
+        lit("中文文本"), // zh (CJK codepoint path)
+        lit("zzz qqq xyzzy")),        // und
+        (col("doc_id") % 6 + 1).cast("int"))
+      docs(s, dir).select(col("doc_id"), Functions.langIdUdf(text2).as("lang_pred"))
         .orderBy("doc_id")
     }),
     "t06_minhash_sig" -> ((s, dir) => {
@@ -408,14 +502,17 @@ object Queries {
         .orderBy("a", "b")
     }),
     "e04_embed_ivf" -> ((s, dir) => {
-      // IVF coarse index: seed sample + one distributed Lloyd step, probe the
-      // 6 nearest of 16 cells (at scale: partition pruning on the cell key;
-      // nProbe trades recall for fraction-of-corpus scanned)
+      // IVF coarse index: seed sample + one distributed Lloyd step, assignments
+      // MATERIALIZED partitionBy(cell), then probe the 6 nearest of 16 cells —
+      // the cell filter is directory-level partition pruning, so the probe
+      // reads ~nProbe/k of the corpus (nProbe trades recall for bytes read)
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val cents = Embeddings.ivfTrain(emb, k = 16, iters = 1)
-      Embeddings.ivfTopK(emb, cents, q, k = 10, nProbe = 6)
+      val idxPath = "target/ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      Embeddings.ivfBuildIndex(emb, cents, idxPath)
+      Embeddings.ivfTopKIndexed(s, idxPath, cents, q, k = 10, nProbe = 6)
         .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),
     "t08_simhash_pairs" -> ((s, dir) => {
@@ -426,14 +523,35 @@ object Queries {
         .orderBy("a", "b")
     }),
     "t09_jaccard_verify" -> ((s, dir) => {
-      // exact n-gram Jaccard verification pass over the LSH candidate pairs
-      val corpus = Dedup.withInjectedNearDups(s, docs(s, dir), "doc_id", "text")
-      val pairs = Dedup.minHashPairs(corpus, "doc_id", "text", minJaccard = 0.5)
-        .select("a", "b")
+      // exact n-gram Jaccard verify over a DETERMINISTIC pair set: each doc vs
+      // itself minus the last word (the injected near-dup mapping). Trigram
+      // Jaccard of that pair is pure set arithmetic, so DuckDB can reproduce
+      // it — the hash-dependent LSH candidate GENERATION stays in t07
+      // (rows-only; engine-defined MinHash is not SQL-expressible).
+      val base = docs(s, dir).select(col("doc_id"), col("text"))
+        .filter(Functions.tokenCountWsUdf(col("text")) >= 5)
+      val corpus = Dedup.withInjectedNearDups(s, base, "doc_id", "text")
+      val pairs = base.select(col("doc_id").as("a"),
+        (col("doc_id") + 1000000L).as("b"))
       Dedup.verifyJaccard(pairs, corpus, "doc_id", "text")
         .select(col("a"), col("b"),
           (col("jaccard_exact") * 1000).cast("long").as("jac_exact_permille"))
         .orderBy("a", "b")
+    }),
+    "e05_embed_cosine" -> ((s, dir) => {
+      // ANN brute-force top-k over INTEGER-VALUED synthetic vectors: every
+      // step (float products, double sums, sqrt, divide) is exact or
+      // correctly-rounded IEEE in both engines, so even cosine_ppm is
+      // DuckDB-checkable — e01 keeps the operator on the real embeddings
+      // table (rows-only there: float sums of arbitrary data are
+      // order-sensitive in the last ulp).
+      val dim = 8
+      val vecCols = array((0 until dim).map(i =>
+        ((col("doc_id") * (i + 3)) % 11).cast("float")): _*)
+      val emb = docs(s, dir).select(col("doc_id").as("vec_id"), vecCols.as("embedding"))
+      val q = (0 until dim).map(i => ((i + 3) % 11).toFloat).toArray // doc 1's vector
+      Embeddings.bruteForceTopK(emb, q, 10)
+        .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),
     "m03_frame_sample" -> ((s, dir) => {
       // video as opaque binary: synthesize GRVD container, then frame-sample

@@ -38,25 +38,39 @@ object SearchJob {
       .select("url")
   }
 
+  /** What [[run]] returns: the match COUNT plus a bounded url sample — never
+    * the full match set. The reference returns every matched filename
+    * (search.py:174-189), which is fine for a folder of claim PDFs; at corpus
+    * scale a broad keyword (or the reference's own whitespace-params-match-
+    * everything quirk) matches ~everything, and collecting that is a driver
+    * OOM. The full set lives where it belongs: in the `matchedDir` table.
+    */
+  final case class SearchResult(count: Long, sample: Seq[String])
+
   /** Full search incl. the reference's empty-result exception (search.py:174-177)
     * and the destination copy (search.py:180-187): overwrite `matchedDir` with
-    * the pages rows whose url matched (left-semi, matches side broadcast — it is
-    * the small side by construction).
+    * the pages rows whose url matched (left-semi join; no forced broadcast —
+    * AQE broadcasts when the match set is actually small, and falls back to a
+    * shuffled join when a broad keyword matches the whole corpus).
     */
   def run(
       spark: SparkSession,
       extracted: DataFrame,
       pages: DataFrame,
       params: SearchParams,
-      matchedDir: String): Seq[String] = {
-    val m = matches(extracted, params).cache()
+      matchedDir: String,
+      sampleSize: Int = 20): SearchResult = {
+    val m = matches(extracted, params)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val urls = m.collect().map(_.getString(0)).toSeq
-      if (urls.isEmpty)
+      val n = m.count()
+      if (n == 0)
         throw NoMatchFound(s"No value matching with the keyword: $params")
-      pages.join(broadcast(m), Seq("url"), "left_semi")
+      pages.join(m, Seq("url"), "left_semi")
         .write.mode("overwrite").parquet(matchedDir)
-      urls
+      val sample = m.orderBy("url").limit(sampleSize)
+        .collect().map(_.getString(0)).toSeq
+      SearchResult(n, sample)
     } finally m.unpersist()
   }
 }

@@ -68,11 +68,23 @@ final class SnapshotLog(tableDir: String) {
   /** Commit: new snapshot = parent's live files + newly staged files.
     * Write manifest, then atomically swap the current pointer.
     */
-  def commit(snapshotId: Long): Long = {
+  def commit(snapshotId: Long): Long = commitImpl(snapshotId, keepParent = true)
+
+  /** Replace-commit: the new snapshot lists ONLY the staged files — the
+    * table-truncating analog of the reference's force re-extract
+    * (claim.py:34 `extractDocuments=true` overwrites every batch JSON).
+    * Old data files stay on disk, unreferenced (time-travel-able, GC-able),
+    * so the swap is still atomic: readers see the old table or the new one.
+    */
+  def commitReplace(snapshotId: Long): Long = commitImpl(snapshotId, keepParent = false)
+
+  private def commitImpl(snapshotId: Long, keepParent: Boolean): Long = {
     val parent = currentSnapshot().getOrElse(-1L)
     require(snapshotId > parent, s"snapshot $snapshotId must be > parent $parent")
     Files.createDirectories(metaDir)
-    val keep = currentFiles().map(f => root.relativize(Paths.get(f)).toString)
+    val keep =
+      if (keepParent) currentFiles().map(f => root.relativize(Paths.get(f)).toString)
+      else Seq.empty
     val fresh = stagedFiles(snapshotId).map(p => root.relativize(p).toString)
     val lines =
       Seq(s"snapshot\t$snapshotId\tparent\t$parent") ++

@@ -105,6 +105,11 @@ object Synth {
       val rng = new Array[Byte](64)
       var h = Hash64.mix(docId)
       for (i <- rng.indices) { h = Hash64.mix(h); rng(i) = h.toByte }
+      // pin the first byte so the payload can NEVER sniff as another format:
+      // a random '<' (or whitespace then '<') would classify as kind=html and
+      // break the oracles that hardcode kind=empty for this slot (first
+      // colliding doc_id is 12419 — beyond current testdata, not beyond sf1)
+      rng(0) = 0xFF.toByte
       rng
   }
 

@@ -63,6 +63,27 @@ object ExtractPlan {
     override protected def withNewChildInternal(newChild: SparkPlan): GraftExtractExec =
       copy(child = newChild)
 
+    /** Per-partition map: the child's distribution survives. Propagate it
+      * (remapping surviving columns' exprIds, e.g. url) so a downstream
+      * operator keyed on a preserved column doesn't insert a pointless
+      * Exchange above us — the default would report UnknownPartitioning.
+      */
+    override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning = {
+      import org.apache.spark.sql.catalyst.plans.physical._
+      val byName = output.map(a => a.name -> a).toMap
+      val remap = child.output.flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap
+      child.outputPartitioning match {
+        case h: HashPartitioning
+            if h.expressions.forall(_.references.forall(r => remap.contains(r.exprId))) =>
+          h.copy(expressions = h.expressions.map(_.transform {
+            case a: AttributeReference if remap.contains(a.exprId) => remap(a.exprId)
+          }))
+        case SinglePartition => SinglePartition
+        case r: RoundRobinPartitioning => r
+        case p => UnknownPartitioning(p.numPartitions)
+      }
+    }
+
     override protected def doExecute(): RDD[InternalRow] = {
       val childOutput = child.output
       val urlIdx = childOutput.indexWhere(_.name == "url")

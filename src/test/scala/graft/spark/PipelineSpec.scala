@@ -171,12 +171,16 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[SearchJob.NoMatchFound] {
       SearchJob.matches(extracted, SearchParams())
     }
-    // the copy step: overwrite semantics + only matched urls present
+    // the copy step: overwrite semantics + only matched urls present; run()
+    // reports count + bounded sample (never the full set — scale contract)
     val mdir = tmpDir("matched")
-    val urls = SearchJob.run(spark, extracted, pagesDF,
-      SearchParams(any = Some("needleTOKEN")), mdir)
+    val res = SearchJob.run(spark, extracted, pagesDF,
+      SearchParams(any = Some("needleTOKEN")), mdir, sampleSize = 5)
     val copied = spark.read.parquet(mdir).select("url").collect().map(_.getString(0)).toSet
-    assert(copied == urls.toSet)
+    assert(copied == oracleMatches(SearchParams(any = Some("needleTOKEN"))))
+    assert(res.count == copied.size)
+    assert(res.sample.size == math.min(5, copied.size))
+    assert(res.sample.toSet.subsetOf(copied))
   }
 
   test("skew: twoPhaseAgg equals plain groupBy on a Zipf host distribution") {
@@ -412,5 +416,82 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sPlan.contains("ReadSchema") &&
       sPlan.contains("url") && !sPlan.contains("n_bytes"),
       s"search should prune columns:\n${sPlan.take(2000)}")
+  }
+
+  test("force re-extract: reprocesses all urls and replaces the table (claim.py:34 semantics)") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("force")
+    val all = spark.createDataset(fixture)
+    // full commit, then a no-op resume proves everything is done
+    assert(ExtractJob.run(spark, all, dir, numBuckets = 8).contains(0L))
+    assert(ExtractJob.run(spark, all, dir, numBuckets = 8).isEmpty)
+    // forced rerun re-extracts EVERYTHING into snapshot 1, replacing contents
+    assert(ExtractJob.run(spark, all, dir, numBuckets = 8, force = true).contains(1L))
+    val after = ExtractJob.readExtracted(spark, dir)
+    assert(after.count() == corpusSize, "replace-commit must not duplicate rows")
+    assert(after.select("url").distinct().count() == corpusSize)
+    // forced table content equals a clean one-shot run
+    val cleanDir = tmpDir("force_clean")
+    ExtractJob.run(spark, all, cleanDir, numBuckets = 8)
+    val a = after.select("url", "kind", "text", "checksum").orderBy("url").collect().toSeq
+    val b = ExtractJob.readExtracted(spark, cleanDir)
+      .select("url", "kind", "text", "checksum").orderBy("url").collect().toSeq
+    assert(a == b)
+  }
+
+  test("simhash multi-probe: near-dup differing in a TOP-16 bit is still found (hamming<=3)") {
+    val sp = spark; import sp.implicits._
+    // find a word substitution that flips >= 1 of the top-16 simhash bits and
+    // has hamming <= 3 overall — exactly the pair the round-1 single top-16
+    // probe missed by construction
+    val baseText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val baseSig = graft.kernel.TextStats.simHash(baseText)
+    val variant = (1 to 4000).iterator.map(i => baseText + " w" + i).find { t =>
+      val s = graft.kernel.TextStats.simHash(t)
+      val d = graft.kernel.TextStats.hammingDist(baseSig, s)
+      d >= 1 && d <= 3 && (baseSig >>> 48) != (s >>> 48)
+    }
+    assert(variant.isDefined, "fixture search must find a top-bit-flipping near-dup")
+    val docsDf = Seq((1L, baseText), (2L, variant.get))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(docsDf, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"multi-probe must find the pair, got $pairs")
+  }
+
+  test("cache lifecycle: minHashPairs and cosineNearDupPairs leave nothing cached") {
+    val sp = spark; import sp.implicits._
+    assert(spark.sharedState.cacheManager.isEmpty, "precondition: clean cache")
+    val corpus = Seq.tabulate(50)(i => (i.toLong, s"some shared words here plus token$i extra"))
+      .toDF("doc_id", "text")
+    Dedup.minHashPairs(corpus, "doc_id", "text").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "minHashPairs must unpersist its signature cache")
+    val emb = Seq.tabulate(50)(i =>
+      (i.toLong, Array.tabulate(8)(d => (d + 1).toFloat * (1 + (i % 3) * 0.001f)), 0))
+      .toDF("vec_id", "embedding", "label")
+    Embeddings.cosineNearDupPairs(emb, minCosine = 0.9).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "cosineNearDupPairs must unpersist its signature cache")
+  }
+
+  test("IVF materialized index: probe plan prunes partitions (PartitionFilters on cell)") {
+    val sp = spark; import sp.implicits._
+    val emb = Seq.tabulate(200)(i =>
+      (i.toLong, Array.tabulate(8)(d => math.cos(i * 0.37 + d).toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Embeddings.ivfTrain(emb, k = 8, iters = 1)
+    val idxPath = tmpDir("ivf_idx") + "/index"
+    Embeddings.ivfBuildIndex(emb, cents, idxPath)
+    val q = Array.tabulate(8)(d => math.cos(0.37 + d).toFloat) // vec 1's vector
+    val probe = Embeddings.ivfTopKIndexed(spark, idxPath, cents, q, k = 5, nProbe = 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"probe must prune by cell partitions, not scan the corpus:\n${plan.take(1500)}")
+    // pruned probe returns the same rows as the on-the-fly probe
+    val expect = Embeddings.ivfTopK(emb, cents, q, k = 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect)
   }
 }
