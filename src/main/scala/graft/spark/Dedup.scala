@@ -36,10 +36,15 @@ object Dedup {
     * [[oversizedBuckets]] returns exactly what was dropped so a pipeline can
     * route those buckets to the exact-dedup path instead of losing them.
     */
+  /** `materialize = false` returns the LAZY pair plan instead of the default
+    * eagerly-materialized one — plan-audit/EXPLAIN use only: the signature
+    * cache then stays persisted for the session (caller owns the lifecycle).
+    */
   def minHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      materialize: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // one shingling pass; persisted because the LSH self-join reads this twice
@@ -69,6 +74,7 @@ object Dedup {
       .groupBy("a", "b")
       .agg(max("jac").as("jac"))
       .select(col("a"), col("b"), (col("jac") * 1000).cast("long").as("jac_permille"))
+    if (!materialize) return pairs
     // Materialize the (small) pair set eagerly, then release the signature
     // cache — otherwise every call leaks a MEMORY_AND_DISK relation for the
     // session lifetime. localCheckpoint blocks are owned by the returned DF's

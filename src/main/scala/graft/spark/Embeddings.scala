@@ -64,7 +64,8 @@ object Embeddings {
     * Returns (a, b, cosine_ppm) with a < b.
     */
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      materialize: Boolean = true): DataFrame = {
     // persisted: the plan reads this subtree four times (hot-bucket agg + both
     // join sides + the anti-join build) — unpersisted the corpus would be
     // scanned and LSH-hashed 4x (round-1 plan audit showed exactly that)
@@ -88,6 +89,7 @@ object Embeddings {
       .groupBy("a", "b") // a pair can collide in several buckets at scale
       .agg(max("cos").as("cos"))
       .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cosine_ppm"))
+    if (!materialize) return pairs // plan-audit path: caller owns sigs' lifecycle
     // materialize the (small) pair set, then release the signature cache —
     // same lifecycle as Dedup.minHashPairs: nothing cached outlives the call
     val out = pairs.localCheckpoint(true)
