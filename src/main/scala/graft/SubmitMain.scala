@@ -40,6 +40,15 @@ object SubmitMain {
     sys.exit(2)
   }
 
+  /** S6 analog (claim.py:79-94 zip-download sink): collapse the matched table
+    * into ONE artifact file for handoff. coalesce(1) is the point here — a
+    * download is a single stream — never use this shape for corpus-sized
+    * tables.
+    */
+  def bundle(spark: SparkSession, matchedDir: String, bundleDir: String): Unit =
+    spark.read.parquet(matchedDir).coalesce(1)
+      .write.mode("overwrite").parquet(bundleDir)
+
   def main(args: Array[String]): Unit = {
     if (args.length < 3) usage()
     val spark = SparkSession.builder()
@@ -83,13 +92,8 @@ object SubmitMain {
           println(s"matched ${res.count} documents -> $matchedDir")
           res.sample.foreach(u => println(s"  $u"))
         case "bundle" =>
-          // S6 analog (claim.py:79-94 zip-download sink): collapse the matched
-          // table into ONE artifact file for handoff. coalesce(1) is the point
-          // here — a download is a single stream — never use this shape for the
-          // corpus-sized tables.
           val Array(_, matchedDir, bundleDir) = args.take(3)
-          spark.read.parquet(matchedDir).coalesce(1)
-            .write.mode("overwrite").parquet(bundleDir)
+          bundle(spark, matchedDir, bundleDir)
           println(s"bundled $matchedDir -> $bundleDir (single artifact)")
         case _ => usage()
       }

@@ -111,25 +111,43 @@ object TextStats {
   def shingles(text: String, n: Int = 3): Array[Long] = {
     val toks = tokensWs(Py.lower(text))
     if (toks.length < n) return Array(Hash64.ofString(toks.mkString(" ")))
-    val out = new Array[Long](toks.length - n + 1)
+    // hash each token once, then chain-mix the n token hashes per window —
+    // no string is built per window (the dominant allocation in the round-1
+    // profile). Identity is equivalent to hashing the space-joined n-gram:
+    // tokens are space-free, so the join is injective, and equal windows
+    // give equal chains while distinct windows collide only at hash odds.
+    val th = new Array[Long](toks.length)
     var i = 0
+    while (i < toks.length) { th(i) = Hash64.ofString(toks(i)); i += 1 }
+    val out = new Array[Long](toks.length - n + 1)
+    i = 0
     while (i + n <= toks.length) {
-      out(i) = Hash64.ofString(toks.slice(i, i + n).mkString(" "))
+      var h = 1125899906842597L
+      var j = 0
+      while (j < n) { h = Hash64.mix(h ^ th(i + j)); j += 1 }
+      out(i) = h
       i += 1
     }
     out.distinct
   }
 
-  /** MinHash signature: k permutations via per-seed SplitMix64 remixing. */
+  /** MinHash signature: k permutations from a 2-independent family
+    * h_j = h1 + j*h2 over 64-bit wraparound (the standard sketching trick —
+    * e.g. Apache DataSketches' a*x+b rows): 2 mixes per shingle instead of
+    * k, with the same pairwise-independence the Jaccard estimator needs.
+    */
   def minHash(shingleHashes: Array[Long], k: Int = 64): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < shingleHashes.length) {
       val base = shingleHashes(i)
+      val h1 = Hash64.mix(base)
+      val h2 = Hash64.mix(base ^ 0x9e3779b97f4a7c15L) | 1L // odd => full-period
+      var h = h1
       var j = 0
       while (j < k) {
-        val h = Hash64.mix(base ^ (j.toLong * 0x9e3779b97f4a7c15L))
         if (h < sig(j)) sig(j) = h
+        h += h2
         j += 1
       }
       i += 1

@@ -418,6 +418,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"search should prune columns:\n${sPlan.take(2000)}")
   }
 
+  test("bundle: matched table collapses to a single artifact file (S6 analog)") {
+    val sp = spark; import sp.implicits._
+    val mdir = tmpDir("bundle_in")
+    spark.createDataset(fixture.take(20)).toDF()
+      .repartition(4).write.mode("overwrite").parquet(mdir)
+    val bdir = tmpDir("bundle_out") + "/artifact"
+    graft.SubmitMain.bundle(spark, mdir, bdir)
+    val parts = new java.io.File(bdir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile)
+    assert(parts.length == 1, s"bundle must be ONE file, got ${parts.length}")
+    assert(spark.read.parquet(bdir).count() == 20)
+  }
+
   test("force re-extract: reprocesses all urls and replaces the table (claim.py:34 semantics)") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("force")
