@@ -105,31 +105,35 @@ object HtmlExtract {
         }
       }
 
+    // jump between tags with String.indexOf (JVM SIMD intrinsic) instead of a
+    // scalar per-char scan — text runs between tags are the bulk of a page
     var i = 0
     var textStart = 0
-    while (i < n) {
-      val c = html.charAt(i)
-      if (c == '<' && i + 1 < n) {
-        val c1 = html.charAt(i + 1)
+    var done = false
+    while (!done) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) done = true
+      else {
+        val c1 = html.charAt(lt + 1)
         if (c1 == '!') {
-          appendRun(textStart, i)
-          if (html.startsWith("<!--", i)) {
-            val end = html.indexOf("-->", i + 4)
+          appendRun(textStart, lt)
+          if (html.startsWith("<!--", lt)) {
+            val end = html.indexOf("-->", lt + 4)
             i = if (end < 0) n else end + 3
           } else {
-            val end = html.indexOf('>', i + 2)
+            val end = html.indexOf('>', lt + 2)
             i = if (end < 0) n else end + 1
           }
           textStart = i
         } else if (c1 == '?') {
-          appendRun(textStart, i)
-          val end = html.indexOf('>', i + 2)
+          appendRun(textStart, lt)
+          val end = html.indexOf('>', lt + 2)
           i = if (end < 0) n else end + 1
           textStart = i
         } else if (c1 == '/' || isAsciiLetter(c1)) {
-          appendRun(textStart, i)
+          appendRun(textStart, lt)
           val closing = c1 == '/'
-          var p = if (closing) i + 2 else i + 1
+          var p = if (closing) lt + 2 else lt + 1
           val nameStart = p
           while (p < n && (isAsciiLetter(html.charAt(p)) || isAsciiDigit(html.charAt(p)))) p += 1
           // names are [a-zA-Z0-9] by the scan above, so ASCII lowering is
@@ -158,7 +162,7 @@ object HtmlExtract {
               if ((flags & FIgnore) != 0) ignoreDepth += 1
               if ((flags & FRaw) != 0) {
                 // consume raw content up to the matching close tag
-                val closeIdx = indexOfIgnoreCase(html, "</" + name, i)
+                val closeIdx = indexOfCloseTag(html, name, i)
                 i = if (closeIdx < 0) n
                     else {
                       val gt = html.indexOf('>', closeIdx)
@@ -173,9 +177,9 @@ object HtmlExtract {
             }
           }
         } else {
-          i += 1 // literal '<'
+          i = lt + 1 // literal '<' stays in the text run
         }
-      } else i += 1
+      }
     }
     appendRun(textStart, n)
     flushBlock()
@@ -205,15 +209,20 @@ object HtmlExtract {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def isAsciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
-  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
-    val nl = needle.length
+  /** First `</name` (case-insensitive name) at or after `from`: jump between
+    * "</" occurrences with the intrinsified indexOf, compare the name only
+    * there — raw-text bodies (scripts, styles) are scanned at memcpy speed.
+    */
+  private def indexOfCloseTag(hay: String, name: String, from: Int): Int = {
+    val nl = name.length
     var i = math.max(from, 0)
-    val last = hay.length - nl
-    while (i <= last) {
-      if (hay.regionMatches(true, i, needle, 0, nl)) return i
-      i += 1
+    while (true) {
+      val lt = hay.indexOf("</", i)
+      if (lt < 0 || lt + 2 + nl > hay.length) return -1
+      if (hay.regionMatches(true, lt + 2, name, 0, nl)) return lt
+      i = lt + 2
     }
-    -1
+    -1 // unreachable
   }
 
   /** Collapse ASCII whitespace runs to single spaces and trim. The collapse set
