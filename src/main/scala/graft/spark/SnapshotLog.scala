@@ -40,12 +40,30 @@ final class SnapshotLog(tableDir: String) {
   /** All live data files (absolute paths) in the current snapshot. */
   def currentFiles(): Seq[String] = currentSnapshot() match {
     case None => Seq.empty
-    case Some(id) =>
-      Files.readAllLines(manifestPath(id)).asScala.toSeq.collect {
-        case line if line.startsWith("file\t") =>
-          root.resolve(line.split('\t')(1)).toString
-      }
+    case Some(id) => filesAt(id)
   }
+
+  /** Live data files of a specific committed snapshot (time travel: every
+    * manifest is immutable and kept, so any past snapshot stays readable —
+    * replace-commits only stop REFERENCING old files, never delete them).
+    */
+  def filesAt(snapshotId: Long): Seq[String] = {
+    require(Files.exists(manifestPath(snapshotId)),
+      s"snapshot $snapshotId has no manifest under $metaDir")
+    Files.readAllLines(manifestPath(snapshotId)).asScala.toSeq.collect {
+      case line if line.startsWith("file\t") =>
+        root.resolve(line.split('\t')(1)).toString
+    }
+  }
+
+  /** All committed snapshot ids, ascending (the table's history). */
+  def snapshots(): Seq[Long] =
+    if (!Files.isDirectory(metaDir)) Seq.empty
+    else Files.list(metaDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snap-") && s.endsWith(".txt") =>
+        s.stripPrefix("snap-").stripSuffix(".txt").toLong }
+      .toSeq.sorted
 
   private def manifestPath(id: Long): Path = metaDir.resolve(s"snap-$id.txt")
 
@@ -109,10 +127,16 @@ final class SnapshotLog(tableDir: String) {
   /** Next snapshot id (monotonic; ids are logical, no wall-clock — SURVEY §5). */
   def nextSnapshotId(): Long = currentSnapshot().getOrElse(-1L) + 1L
 
-  /** Scan the current snapshot as a DataFrame (empty-but-typed when no commit). */
+  /** Scan a snapshot as a DataFrame (empty-but-typed when no commit).
+    * `asOf = Some(id)` time-travels to any previously committed snapshot.
+    */
   def scan(spark: org.apache.spark.sql.SparkSession,
-      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
-    val files = currentFiles()
+      schema: org.apache.spark.sql.types.StructType,
+      asOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val files = asOf match {
+      case Some(id) => filesAt(id)
+      case None => currentFiles()
+    }
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)

@@ -452,6 +452,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("snapshot time travel: scan(asOf) reads any past snapshot, replace keeps history") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("timetravel")
+    val half = spark.createDataset(fixture.take(corpusSize / 2))
+    val all = spark.createDataset(fixture)
+    ExtractJob.run(spark, half, dir, 8)              // snapshot 0
+    ExtractJob.run(spark, all, dir, 8)               // snapshot 1 (append pending)
+    ExtractJob.run(spark, all, dir, 8, force = true) // snapshot 2 (replace)
+    val log = new SnapshotLog(dir)
+    assert(log.snapshots() == Seq(0L, 1L, 2L))
+    assert(log.scan(spark, Schemas.extractedSchema, asOf = Some(0L)).count() == corpusSize / 2)
+    assert(log.scan(spark, Schemas.extractedSchema, asOf = Some(1L)).count() == corpusSize)
+    assert(log.scan(spark, Schemas.extractedSchema).count() == corpusSize)
+  }
+
   test("simhash multi-probe: near-dup differing in a TOP-16 bit is still found (hamming<=3)") {
     val sp = spark; import sp.implicits._
     // find a word substitution that flips >= 1 of the top-16 simhash bits and

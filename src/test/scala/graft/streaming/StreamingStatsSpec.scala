@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingStats.{Event, Session}
+
+/** §2.7 extension — watermarked windowed aggregation and custom-state
+  * sessionization over a MemoryStream: the state-bounded streaming shapes
+  * (what AvailableNow file extraction doesn't exercise).
+  */
+class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = { spark = graft.spark.SparkTestSession.create(4) }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ev(id: Long, user: Long, typ: String, sec: Long, value: Double = 1.0) =
+    Event(id, user, typ, new Timestamp(sec * 1000L), value)
+
+  test("windowed agg on a static frame equals plain groupBy(window) (unit semantics)") {
+    val sp = spark; import sp.implicits._
+    val events = (0 until 100).map(i => ev(i, i % 5, if (i % 2 == 0) "click" else "view", i * 90L))
+      .toDF()
+    val got = StreamingStats.windowedEventCounts(events, "1 hour", "10 minutes")
+      .orderBy("w_start", "event_type").collect().toSeq
+    val expect = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum((col("value") * 100).cast("long")).as("cents"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("cents"))
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming windowed agg: watermark finalizes windows, append-mode emits once") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingStats.windowedEventCounts(ms.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts").outputMode("append").start()
+    try {
+      // window [0, 1h): 3 clicks + 1 view
+      ms.addData(ev(1, 1, "click", 10), ev(2, 1, "click", 600), ev(3, 2, "view", 1800),
+        ev(4, 2, "click", 3599))
+      q.processAllAvailable()
+      // far-future event pushes the watermark past 1h + 10min -> w0 finalized
+      ms.addData(ev(5, 3, "click", 3600L * 4))
+      q.processAllAvailable()
+      ms.addData(ev(6, 3, "click", 3600L * 5)) // one more batch to flush emission
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("w_start", "event_type", "n", "cents")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows.contains((0L, "click", 3L, 300L)), s"got $rows")
+      assert(rows.contains((0L, "view", 1L, 100L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize: gap closes a session in-batch; event-time timeout closes the open one") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val gapMs = 300000L // 5 min
+    val q = StreamingStats.sessionize(ms.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 1s apart (one session), then one 700s later (gap
+      // > 5min closes the first IN-BATCH and opens a second). Timestamps sit
+      // an hour past the epoch — an event AT the initial watermark (0) would
+      // be dropped as late.
+      ms.addData(ev(1, 1, "click", 3600), ev(2, 1, "click", 3601), ev(3, 1, "click", 4300))
+      q.processAllAvailable()
+      // advance the watermark (10 min delay) far past 4300s + gap -> the open
+      // session times out; two driver batches so the timeout batch runs
+      ms.addData(ev(10, 99, "click", 9000))
+      q.processAllAvailable()
+      ms.addData(ev(11, 99, "click", 10000))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions").as[Session].collect()
+        .filter(_.user_id == 1L).map(s => (s.start_ms, s.end_ms, s.n_events)).toSet
+      assert(sessions == Set((3600000L, 3601000L, 2), (4300000L, 4300000L, 1)),
+        s"got $sessions")
+    } finally q.stop()
+  }
+}
