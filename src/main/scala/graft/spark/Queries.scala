@@ -114,6 +114,13 @@ object Queries {
       """SELECT user_id, event_id,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    // a06: tumbling 1h windows are epoch-aligned -> floor(epoch/3600)*3600
+    // (explicit floor: DuckDB's // is true division on DOUBLE operands)
+    "a06_windowed_counts" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS w_start_sec,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_sec, event_type""".stripMargin,
     "j01_semi_join" ->
       """SELECT o_orderkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -329,6 +336,16 @@ object Queries {
         .select(col("user_id"), col("event_id"),
           row_number().over(w).cast("long").as("rn"))
         .orderBy("user_id", "event_id")
+    }),
+    "a06_windowed_counts" -> ((s, dir) => {
+      // the streaming windowed aggregate run in batch mode (withWatermark is
+      // a no-op on static frames, semantics otherwise identical) — window
+      // boundaries are epoch-aligned tumbling hours, SQL arithmetic in DuckDB
+      graft.streaming.StreamingStats
+        .windowedEventCounts(s.read.parquet(s"$dir/events.parquet"))
+        .select(unix_timestamp(col("w_start")).as("w_start_sec"),
+          col("event_type"), col("n"), col("cents"))
+        .orderBy("w_start_sec", "event_type")
     }),
     // ---- joins (SURVEY §2.5: J1 semi = the copy step; C2 anti = resume) ----
     "j01_semi_join" -> ((s, dir) => {
