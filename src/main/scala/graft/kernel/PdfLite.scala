@@ -57,9 +57,10 @@ object PdfLite {
         val y = bb.getInt
         val len = bb.getInt
         require(len >= 0 && len <= bb.remaining(), s"bad run length $len")
-        val buf = new Array[Byte](len)
-        bb.get(buf)
-        runs += Run(x, y, new String(buf, StandardCharsets.UTF_8))
+        // decode straight from the backing array — no per-run byte[] copy
+        val off = bb.position()
+        runs += Run(x, y, new String(bytes, off, len, StandardCharsets.UTF_8))
+        bb.position(off + len)
         r += 1
       }
       val rasterLen = bb.getInt
@@ -81,18 +82,31 @@ object PdfLite {
     * a single space, lines joined by "\n", plus a trailing "\n" when nonempty —
     * the shape `page.get_text()` produces for simple text pages.
     */
+  private val runOrder: java.util.Comparator[Run] = new java.util.Comparator[Run] {
+    def compare(a: Run, b: Run): Int = {
+      val c = Integer.compare(a.y, b.y)
+      if (c != 0) c else Integer.compare(a.x, b.x)
+    }
+  }
+
   def pageText(page: Page): String = {
     if (page.runs.isEmpty) return ""
-    // stable merge sort, allocation-free comparator (hot path: one sort per page)
-    val sorted = page.runs.sortWith((a, b) => a.y < b.y || (a.y == b.y && a.x < b.x))
-    val sb = new StringBuilder
-    var curY = Int.MinValue
-    var first = true
-    for (r <- sorted) {
-      if (first) { curY = r.y; first = false }
-      else if (r.y != curY) { sb.append('\n'); curY = r.y }
+    // stable TimSort over a flat array + presized builder (one sort per page)
+    val arr = page.runs.toArray
+    java.util.Arrays.sort(arr, runOrder)
+    var total = 1
+    var i = 0
+    while (i < arr.length) { total += arr(i).text.length + 1; i += 1 }
+    val sb = new java.lang.StringBuilder(total)
+    var curY = arr(0).y
+    sb.append(arr(0).text)
+    i = 1
+    while (i < arr.length) {
+      val r = arr(i)
+      if (r.y != curY) { sb.append('\n'); curY = r.y }
       else sb.append(' ')
       sb.append(r.text)
+      i += 1
     }
     sb.append('\n')
     sb.toString
