@@ -527,7 +527,13 @@ object Queries {
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
       val cents = Embeddings.ivfTrain(emb, k = 16, iters = 1)
-      val idxPath = "target/ivf_index/" + dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      // key the materialized index by the centroids too: a stale index from an
+      // older kernel version must never satisfy the idempotence probe
+      val centKey = java.lang.Long.toHexString(
+        cents.flatten.foldLeft(1125899906842597L)((h, f) =>
+          h * 257L + java.lang.Float.floatToIntBits(f)))
+      val idxPath = "target/ivf_index/" +
+        dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" + centKey
       Embeddings.ivfBuildIndex(emb, cents, idxPath)
       Embeddings.ivfTopKIndexed(s, idxPath, cents, q, k = 10, nProbe = 6)
         .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
