@@ -64,6 +64,8 @@ object Functions {
     if (text == null) 0 else TextStats.tokenCountBpeIsh(text))
   val langIdUdf = udf((text: String) =>
     if (text == null) "und" else TextStats.langId(text))
+  val qualityScoreUdf = udf((text: String) =>
+    if (text == null) 0.0 else TextStats.quality(text).score)
   val fingerprintUdf = udf((text: String) =>
     if (text == null) 0L else TextStats.fingerprint(text))
   val simHashUdf = udf((text: String) =>

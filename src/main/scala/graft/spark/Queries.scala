@@ -149,6 +149,27 @@ object Queries {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the')) AS BIGINT) AS n_the
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // t10: the kernel's score, FP op order mirrored exactly (min->least,
+    // left-assoc sum, same divisions); ASCII text => length semantics agree
+    "t10_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS np
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, nc, np, len(toks) AS nt,
+        |    len(list_filter(toks, t -> lower(t) IN ('the','a','an','of','to',
+        |      'in','and','or','is','are','was','for','on','with','as','by',
+        |      'at','it','that','this','be','from','but','not','have','has'))) AS ns
+        |  FROM q
+        |)
+        |SELECT doc_id, CAST(floor((
+        |    (least(1.0, nc / 500.0)
+        |     + least(1.0, (CASE WHEN nt = 0 THEN 0.0 ELSE CAST(ns AS DOUBLE) / nt END) * 5.0)
+        |     + least(1.0, (CASE WHEN nc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / nc END) * 20.0)
+        |    ) / 3.0) * 1000000) AS BIGINT) AS score_ppm
+        |FROM s ORDER BY doc_id""".stripMargin,
     "m01_binary_meta" ->
       """SELECT doc_id, 'GRAS' AS fmt,
         |  CAST(13 + (16 + doc_id % 16) * 8 AS BIGINT) AS n_bytes
@@ -391,6 +412,14 @@ object Queries {
       docs(s, dir).select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         size(filter(split(col("text"), " "), x => x === "the")).cast("long").as("n_the"))
+        .orderBy("doc_id")
+    }),
+    "t10_quality_score" -> ((s, dir) => {
+      // C4/Gopher-style composite quality score (length + stopword + punct
+      // gates); every floating-point step is reproduced op-for-op in the
+      // DuckDB oracle, so even score_ppm hash-matches
+      docs(s, dir).select(col("doc_id"),
+        (Functions.qualityScoreUdf(col("text")) * 1000000).cast("long").as("score_ppm"))
         .orderBy("doc_id")
     }),
     "m01_binary_meta" -> ((s, dir) => {
