@@ -517,6 +517,13 @@ object Queries {
       docs(s, dir).select(col("doc_id"), Functions.langIdUdf(text2).as("lang_pred"))
         .orderBy("doc_id")
     }),
+    // t06-t08 and e01-e04 are rows-only BY NATURE: their outputs are
+    // engine-defined 64-bit hash values (MinHash/SimHash/LSH buckets) or
+    // last-ulp-sensitive float reductions over arbitrary data — neither is
+    // DuckDB-expressible. Their correctness lives in the ScalaTest suites
+    // (injected-dup recall, brute-force-vs-ANN agreement, IVF recall) and in
+    // the SQL-checkable twins t09 (exact trigram Jaccard) and e05 (exact-
+    // arithmetic cosine top-k).
     "t06_minhash_sig" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         element_at(Functions.minHashUdf(col("text")), 1).as("sig0"),
@@ -561,7 +568,8 @@ object Queries {
       val centKey = java.lang.Long.toHexString(
         cents.flatten.foldLeft(1125899906842597L)((h, f) =>
           h * 257L + java.lang.Float.floatToIntBits(f)))
-      val idxPath = "target/ivf_index/" +
+      // CWD-independent location: the driver may fork Verify from elsewhere
+      val idxPath = sys.props("java.io.tmpdir") + "/graft_ivf_index/" +
         dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" + centKey
       Embeddings.ivfBuildIndex(emb, cents, idxPath)
       Embeddings.ivfTopKIndexed(s, idxPath, cents, q, k = 10, nProbe = 6)
