@@ -487,6 +487,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)), s"multi-probe must find the pair, got $pairs")
   }
 
+  test("LSH pair operators EQUAL their brute-force definitions on a small corpus") {
+    val sp = spark; import sp.implicits._
+    import graft.kernel.TextStats
+    // 120 docs incl. exact copies and dropped-last-word near-dups
+    val texts: Seq[(Long, String)] = (0 until 80).map { i =>
+      i.toLong -> s"alpha beta w$i gamma delta epsilon token${i % 7} zeta eta theta iota"
+    } ++ (0 until 20).map { i =>
+      (1000L + i) -> s"alpha beta w$i gamma delta epsilon token${i % 7} zeta eta theta iota"
+    } ++ (0 until 20).map { i =>
+      (2000L + i) -> s"alpha beta w$i gamma delta epsilon token${i % 7} zeta eta theta"
+    }
+    val df = texts.toDF("doc_id", "text")
+
+    // simhash: brute-force all pairs at hamming <= 3
+    val sims = texts.map { case (id, t) => id -> TextStats.simHash(t) }
+    val expectSim = (for {
+      (a, sa) <- sims; (b, sb) <- sims if a < b
+      h = TextStats.hammingDist(sa, sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val gotSim = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    assert(gotSim == expectSim, s"simhash: got ${gotSim.size}, expect ${expectSim.size}")
+
+    // minhash LSH: brute force = any shared band key AND estimated jaccard >= 0.5
+    val sigs = texts.map { case (id, t) =>
+      (id, TextStats.minHash(TextStats.shingles(t)))
+    }
+    val bands = sigs.map { case (id, s) => (id, TextStats.lshBands(s)) }.toMap
+    val expectMh = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      if bands(a).zip(bands(b)).exists { case (x, y) => x == y }
+      j = TextStats.minHashJaccard(sa, sb) if j >= 0.5
+    } yield (a, b, (j * 1000).toLong)).toSet
+    val gotMh = Dedup.minHashPairs(df, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotMh == expectMh, s"minhash: got ${gotMh.size}, expect ${expectMh.size}")
+    assert(expectMh.nonEmpty && expectSim.nonEmpty, "fixture must produce pairs")
+  }
+
   test("cache lifecycle: minHashPairs and cosineNearDupPairs leave nothing cached") {
     val sp = spark; import sp.implicits._
     assert(spark.sharedState.cacheManager.isEmpty, "precondition: clean cache")
