@@ -204,7 +204,10 @@ object Bench {
             val times = (1 to 2).map { _ =>
               val t0 = System.nanoTime()
               try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-              catch { case e: Throwable => errors += s"query $name: $e" }
+              catch { case e: Throwable =>
+                errors += (s"query $name: $e")
+                  .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+              }
               (System.nanoTime() - t0) / 1e9
             }
             name -> times.min
@@ -265,7 +268,11 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errJson = errors.map(e => "\"" + e + "\"").mkString("[", ",", "]")
+    // sanitize HERE too — one un-escaped quote in any collected message would
+    // null the whole round's bench artifact
+    val errJson = errors
+      .map(e => "\"" + e.replaceAll("[\"\\\\\\n\\r\\t\\p{Cntrl}]", " ") + "\"")
+      .mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum + secH + secL + sec4N
     println(
       s"""{"metric":"extract_docs_per_sec","value":${f"$thruHigh%.1f"},"unit":"docs/sec",""" +
