@@ -94,7 +94,7 @@ object Bench {
   private def scalingPair(scaleN: Int, scale4N: Int, pagesPath: String): (Double, Double) = {
     onePass(scaleN, pagesPath) // warm-ups (low level first: JIT bias lowers
     onePass(scale4N, pagesPath) // the reported efficiency, never raises it)
-    val passes = (1 to 3).map { _ =>
+    val passes = (1 to 4).map { _ => // min-of-4: outlast one contention window
       (onePass(scaleN, pagesPath)._3, onePass(scale4N, pagesPath)._3)
     }
     (passes.map(_._1).min, passes.map(_._2).min)
