@@ -105,6 +105,18 @@ object TextStats {
     Hash64.mix(h)
   }
 
+  /** [[fingerprint]] over raw UTF-8 bytes [off, off+len) — identical value
+    * (the String form just encodes first). The Spark layer calls this with a
+    * UTF8String's bytes so the hot path never decodes (Expressions.Fingerprint).
+    */
+  def fingerprintBytes(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var h = 1125899906842597L
+    var i = off
+    val end = off + len
+    while (i < end) { h = h * 257L + (bytes(i) & 0xffL); i += 1 }
+    Hash64.mix(h)
+  }
+
   /** Word n-gram shingles (default n=3) as stable 64-bit hashes. Texts shorter
     * than n words yield a single whole-text shingle so Jaccard stays defined.
     */

@@ -339,6 +339,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scanned.count() > 0)
   }
 
+  test("native graft_fingerprint expression: zero-copy bytes path matches kernel and UDF") {
+    val sp = spark; import sp.implicits._
+    Expressions.register(spark)
+    val texts = Seq("", "a", "hello world", "unicode é中文 bytes", "x" * 5000)
+    val df = texts.toDF("text")
+    val got = df.select(
+      Expressions.fingerprint(col("text")).as("expr_fp"),
+      Functions.fingerprintUdf(col("text")).as("udf_fp")).collect()
+    for ((row, t) <- got.zip(texts)) {
+      assert(row.getLong(0) == graft.kernel.TextStats.fingerprint(t), s"text '$t'")
+      assert(row.getLong(0) == row.getLong(1))
+    }
+    assert(spark.sql("SELECT graft_fingerprint(CAST(NULL AS STRING))").head().isNullAt(0))
+    // whole-stage codegen over a real scan (UDFs break the codegen span)
+    val scanned = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(Expressions.fingerprint(col("text")))
+    val plan = scanned.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("graft_fingerprint"), plan.take(800))
+    assert(scanned.count() > 0)
+  }
+
   test("custom operator: GraftExtractExec equals the typed-Dataset path, shows in EXPLAIN") {
     val sp = spark; import sp.implicits._
     plans.ExtractPlan.install(spark)
