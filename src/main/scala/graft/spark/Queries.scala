@@ -121,6 +121,27 @@ object Queries {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events GROUP BY 1, 2 ORDER BY w_start_sec, event_type""".stripMargin,
+    // a07: gap-based sessionization (8h gap) as lag/sum-over-flags window SQL —
+    // the DuckDB twin of the flatMapGroupsWithState sessionizer (µs-exact)
+    "a07_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, t,
+        |    CASE WHEN prev IS NULL OR t - prev > 28800000000 THEN 1 ELSE 0 END AS newflag
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, event_id, t,
+        |    sum(newflag) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+        |  CAST(min(t) AS BIGINT) AS start_us, CAST(max(t) AS BIGINT) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
     "j01_semi_join" ->
       """SELECT o_orderkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -367,6 +388,16 @@ object Queries {
         .select(unix_timestamp(col("w_start")).as("w_start_sec"),
           col("event_type"), col("n"), col("cents"))
         .orderBy("w_start_sec", "event_type")
+    }),
+    "a07_sessions" -> ((s, dir) => {
+      // gap-based sessionization, batch window-function form (the relational
+      // twin of StreamingStats.sessionize — which keeps the MemoryStream test
+      // for the state/timeout path). 8h gap over the events relation.
+      graft.streaming.StreamingStats
+        .sessionizeBatch(s.read.parquet(s"$dir/events.parquet"), 28800000000L)
+        .select(col("user_id"), col("session_idx"), col("start_us"),
+          col("end_us"), col("n_events"))
+        .orderBy("user_id", "session_idx")
     }),
     // ---- joins (SURVEY §2.5: J1 semi = the copy step; C2 anti = resume) ----
     "j01_semi_join" -> ((s, dir) => {

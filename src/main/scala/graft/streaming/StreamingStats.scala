@@ -31,7 +31,9 @@ object StreamingStats {
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum((col("value") * 100).cast("long")).as("cents"))
+        // floor (not cast) pins cents to the DuckDB oracle's floor(value*100)
+        // even for negative values — cast truncates toward zero
+        sum(floor(col("value") * 100).cast("long")).as("cents"))
       .select(
         col("window.start").as("w_start"),
         col("event_type"), col("n"), col("cents"))
@@ -70,7 +72,11 @@ object StreamingStats {
               val t = e.ts.getTime
               open = open match {
                 case Some(s) if t - s.last <= gapMs =>
-                  Some(s.copy(last = t, n = s.n + 1))
+                  // min/max merge: an out-of-order event (legal within the
+                  // watermark) earlier than state's `last` must never move the
+                  // session end backward — that would under-report end_ms and
+                  // pull the event-time timeout before the true last + gap
+                  Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed += Session(user, s.start, s.last, s.n)
                   Some(SessionState(t, t, 1))
@@ -84,5 +90,35 @@ object StreamingStats {
             closed.result().iterator
           }
       }
+  }
+
+  /** Gap-based sessionization as a BATCH window-function plan — the
+    * relational twin of [[sessionize]] (lag -> new-session flag -> running
+    * sum -> per-session aggregate), SQL-expressible so the DuckDB harness
+    * can oracle-check it (query a07_sessions). Microsecond precision: the
+    * parquet timestamps are stored as µs, so unix_micros is exact.
+    *
+    * Scale shape: one shuffle on user_id feeds both window functions and the
+    * final aggregate (same partitioning — Catalyst reuses the exchange);
+    * state per task is one partition's rows, spillable.
+    */
+  def sessionizeBatch(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // order by (t, event_id): t = unix_micros(ts) is order-equivalent to ts
+    val byUser = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val flagged = events
+      // cast: the parquet relation stores TIMESTAMP_NTZ; under the UTC session
+      // timezone the cast is value-preserving and matches DuckDB's epoch_us
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(byUser))
+      .withColumn("newflag",
+        when(col("prev").isNull || col("t") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("newflag")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("t")).as("start_us"), max(col("t")).as("end_us"),
+        count(lit(1)).as("n_events"))
   }
 }

@@ -29,7 +29,7 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("w_start", "event_type").collect().toSeq
     val expect = events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum((col("value") * 100).cast("long")).as("cents"))
+      .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100).cast("long")).as("cents"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("cents"))
       .orderBy("w_start", "event_type").collect().toSeq
     assert(got == expect)
@@ -85,6 +85,68 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .filter(_.user_id == 1L).map(s => (s.start_ms, s.end_ms, s.n_events)).toSet
       assert(sessions == Set((3600000L, 3601000L, 2), (4300000L, 4300000L, 1)),
         s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("sessionize: out-of-order event within the watermark never moves the session end backward") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val gapMs = 300000L // 5 min
+    val q = StreamingStats.sessionize(ms.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
+    try {
+      // batch 1: session last = 3700s (watermark from max ts 3700 - 10 min = 3100)
+      ms.addData(ev(1, 1, "click", 3600), ev(2, 1, "click", 3700))
+      q.processAllAvailable()
+      // batch 2: an OUT-OF-ORDER event at 3650s — legal (>= watermark 3100),
+      // within gap of last. The merged session must keep end = 3700s, n = 3.
+      ms.addData(ev(3, 1, "click", 3650))
+      q.processAllAvailable()
+      // advance the watermark far past 3700s + gap, then one flush batch
+      ms.addData(ev(10, 99, "click", 9000))
+      q.processAllAvailable()
+      ms.addData(ev(11, 99, "click", 10000))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_ooo").as[Session].collect()
+        .filter(_.user_id == 1L).map(s => (s.start_ms, s.end_ms, s.n_events)).toSet
+      assert(sessions == Set((3600000L, 3700000L, 3)), s"got $sessions")
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch (window-function twin) agrees with streaming sessionize") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // deterministic multi-user event set with gaps straddling the threshold;
+    // timestamps far from 0 so nothing is watermark-late
+    val base = 100000L
+    val events = (0 until 120).map { i =>
+      val user = i % 4
+      // per-user event spacing alternates 100s / 700s -> several sessions each
+      val step = (i / 4) * 100L + (i / 4 / 3) * 700L
+      ev(i.toLong, user, "click", base + step)
+    }
+    val gapMs = 300000L
+    val batch = StreamingStats.sessionizeBatch(events.toDF(), gapMs * 1000L)
+      .select(col("user_id"), (col("start_us") / 1000).cast("long").as("s"),
+        (col("end_us") / 1000).cast("long").as("e"), col("n_events").cast("int"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val ms = MemoryStream[Event]
+    val q = StreamingStats.sessionize(ms.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sessions_xchk").outputMode("append").start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      // flush: push the watermark far past every session end + gap
+      ms.addData(ev(9000, 99, "click", base + 10000000L))
+      q.processAllAvailable()
+      ms.addData(ev(9001, 99, "click", base + 20000000L))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_xchk").as[Session].collect()
+        .filter(_.user_id != 99L)
+        .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+      assert(batch.size > events.length / 10, "fixture must produce several sessions")
     } finally q.stop()
   }
 }
