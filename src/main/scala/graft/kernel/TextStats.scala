@@ -258,4 +258,20 @@ object TextStats {
     }
     bucket
   }
+
+  /** Multi-probe bucket set for an embedding: the vector's own bucket plus
+    * its `nBits` Hamming-1 neighbors (every single-hyperplane flip). Probing
+    * all of them guarantees a candidate pair is found whenever the two
+    * buckets differ in at most ONE hyperplane sign — the recall gap of a
+    * single-bucket probe (a 0.9999-cosine pair can straddle one hyperplane).
+    * Still O(1) buckets: nBits + 1 keys (13 at the default 12 bits).
+    */
+  def embeddingLshProbes(v: Array[Float], nBits: Int = 12, seed: Long = 42L): Array[Int] = {
+    val own = embeddingLshBucket(v, nBits, seed)
+    val out = new Array[Int](nBits + 1)
+    out(0) = own
+    var b = 0
+    while (b < nBits) { out(b + 1) = own ^ (1 << b); b += 1 }
+    out
+  }
 }

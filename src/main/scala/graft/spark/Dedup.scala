@@ -99,21 +99,39 @@ object Dedup {
 
   /** SimHash near-dups: all pairs within `maxHamming`, multi-probe bucketed.
     *
-    * The 64-bit signature is split into four 16-bit blocks; by pigeonhole, a
-    * pair with Hamming distance <= 3 differs in at most 3 blocks, so it agrees
-    * EXACTLY on at least one — probing all four (probe#, block-value) buckets
-    * therefore has perfect recall at maxHamming <= 3 (the round-1 single
-    * top-16-bit probe missed pairs whose differing bits fell in the top block).
-    * Cost is 4 bucket rows per doc, still O(docs), never all-pairs. Same
-    * mass-duplicate bucket cap as [[minHashPairs]]; duplicate discoveries
-    * across probes collapse in the final (a, b) aggregate.
+    * The 64-bit signature is split into `maxHamming + 1` blocks; by
+    * pigeonhole, a pair with Hamming distance <= maxHamming differs in at
+    * most maxHamming blocks, so it agrees EXACTLY on at least one — probing
+    * every (probe#, block-value) bucket therefore has perfect recall at the
+    * requested distance (the block count is DERIVED from the parameter so the
+    * guarantee always tracks it; the round-2 fixed four-block split silently
+    * lost recall for maxHamming > 3). Cost is maxHamming+1 bucket rows per
+    * doc, still O(docs), never all-pairs. Same mass-duplicate bucket cap as
+    * [[minHashPairs]]; duplicate discoveries across probes collapse in the
+    * final (a, b) aggregate.
+    *
+    * The signature subtree is persisted for the call (it feeds the hot-bucket
+    * aggregate AND both self-join sides — unpersisted, the corpus would be
+    * scanned and simhashed 3x, the round-2 scale audit's finding); the
+    * returned pair set is materialized eagerly and the cache released, the
+    * same lifecycle as [[minHashPairs]]. `materialize = false` returns the
+    * lazy plan for EXPLAIN/audit and the caller owns the cache.
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000,
+      materialize: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming $maxHamming outside [0, 15]: blocks of < 4 bits bucket too coarsely")
+    val nBlocks = maxHamming + 1
     val sigs = docs.select(col(idCol).cast("long").as("id"),
       Functions.simHashUdf(col(textCol)).as("sim"))
-    val blocks = array((0 until 4).map(i =>
-      shiftrightunsigned(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocks = array((0 until nBlocks).map { b =>
+      val lo = b * 64 / nBlocks
+      val width = (b + 1) * 64 / nBlocks - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftrightunsigned(col("sim"), lo).bitwiseAND(lit(mask))
+    }: _*)
     val banded = sigs.select(col("id"), col("sim"),
       posexplode(blocks).as(Seq("probe", "bucket")))
     val hot = banded.groupBy("probe", "bucket").count()
@@ -122,12 +140,16 @@ object Dedup {
     val l = pruned.select(col("probe"), col("bucket"), col("id").as("a"), col("sim").as("sim_a"))
     val r = pruned.select(col("probe"), col("bucket"), col("id").as("b"), col("sim").as("sim_b"))
     val hamUdf = udf((x: Long, y: Long) => graft.kernel.TextStats.hammingDist(x, y))
-    l.join(r, Seq("probe", "bucket"))
+    val pairs = l.join(r, Seq("probe", "bucket"))
       .filter(col("a") < col("b"))
       .withColumn("hamming", hamUdf(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .groupBy("a", "b")
       .agg(min("hamming").as("hamming"))
+    if (!materialize) return pairs // plan-audit path: caller owns sigs' lifecycle
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** Exact n-gram Jaccard for a candidate pair set (verification pass after LSH). */

@@ -37,14 +37,18 @@ object Embeddings {
     embeddings.select(col("vec_id"), col("label"),
       Functions.embedLshUdf(col("embedding")).as("bucket"))
 
-  /** ANN: restrict brute force to the query's LSH bucket. Falls back to the
-    * full corpus when the bucket is empty (never returns fewer than available).
+  /** ANN: restrict brute force to the query's MULTI-PROBE bucket set — the
+    * query's own bucket plus its 12 Hamming-1 neighbors (13 keys, still O(1)
+    * buckets). A single-bucket probe misses any neighbor that straddles one
+    * hyperplane relative to q; the Hamming-1 probes make those reachable by
+    * construction. At scale the bucket column is the partition key, so the
+    * probe reads 13 partitions instead of the corpus.
     */
   def lshTopK(embeddings: DataFrame, q: Array[Float], k: Int): DataFrame = {
-    val qBucket = graft.kernel.TextStats.embeddingLshBucket(q)
+    val probes = graft.kernel.TextStats.embeddingLshProbes(q)
     val candidates = embeddings
       .withColumn("bucket", Functions.embedLshUdf(col("embedding")))
-      .filter(col("bucket") === qBucket)
+      .filter(col("bucket").isin(probes.toSeq: _*))
     bruteForceTopK(candidates.drop("bucket"), q, k)
   }
 
@@ -58,10 +62,16 @@ object Embeddings {
 
   /** Embedding-cosine near-duplicate pairs: candidates from a random-hyperplane
     * LSH bucket self-join (O(docs) rows per bucket, never O(docs^2) overall),
-    * verified with exact cosine >= `minCosine`. The shuffle key is the 12-bit
-    * bucket; at 10^12 docs one would widen the signature and multi-probe, but
-    * the plan shape (bucket join + in-bucket verify) is the scale shape.
-    * Returns (a, b, cosine_ppm) with a < b.
+    * verified with exact cosine >= `minCosine`. Returns (a, b, cosine_ppm)
+    * with a < b.
+    *
+    * MULTI-PROBE recall: the probe side explodes each vector to its own
+    * bucket plus all 12 Hamming-1 neighbor buckets (13 keys — O(1)), joined
+    * against the build side's own bucket. Any pair whose buckets differ in at
+    * most ONE hyperplane sign is therefore found BY CONSTRUCTION — a
+    * 0.9999-cosine pair straddling a single hyperplane was unreachable with
+    * the previous own-bucket-only join. The shuffle key stays the 12-bit
+    * bucket; the probe side carries 13x rows (bounded, corpus-linear).
     */
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double,
       maxBucketSize: Int = 10000,
@@ -72,16 +82,22 @@ object Embeddings {
     val sigs = embeddings.select(
       col("vec_id").cast("long").as("id"),
       col("embedding"),
-      Functions.embedLshUdf(col("embedding")).as("bucket"))
+      Functions.embedLshUdf(col("embedding")).as("bucket"),
+      Functions.embedLshProbesUdf(col("embedding")).as("probes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // mass-duplicate guard (same rationale as Dedup.minHashPairs): a vector
     // repeated 10^9 times makes one bucket quadratic; cap and route those to
-    // exact dedup on a vector digest instead
+    // exact dedup on a vector digest instead. Hot keys are detected on the
+    // own-bucket histogram and pruned from BOTH sides (a probe key landing in
+    // a hot bucket would re-create the quadratic join).
     val hot = sigs.groupBy("bucket").count()
       .filter(col("count") > maxBucketSize).select("bucket")
-    val pruned = sigs.join(broadcast(hot), Seq("bucket"), "left_anti")
-    val l = pruned.select(col("bucket"), col("id").as("a"), col("embedding").as("va"))
-    val r = pruned.select(col("bucket"), col("id").as("b"), col("embedding").as("vb"))
+    val l = sigs
+      .select(explode(col("probes")).as("bucket"), col("id").as("a"),
+        col("embedding").as("va"))
+      .join(broadcast(hot), Seq("bucket"), "left_anti")
+    val r = sigs.select(col("bucket"), col("id").as("b"), col("embedding").as("vb"))
+      .join(broadcast(hot), Seq("bucket"), "left_anti")
     val pairs = l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"), cosinePairCol(col("va"), col("vb")).as("cos"))
@@ -99,8 +115,8 @@ object Embeddings {
 
   /** Corpus with deterministic near-duplicate vectors injected (vec_id+offset,
     * dim 0 nudged by +0.01) so near-dup operators have visible output on the
-    * driver testdata; the nudge keeps cosine ~0.9999 and (almost always) the
-    * same LSH bucket.
+    * driver testdata; the nudge keeps cosine ~0.9999, and even when it flips
+    * one LSH hyperplane sign the multi-probe join still reaches the pair.
     */
   def withInjectedNearDups(embeddings: DataFrame, offset: Long = 1000000L): DataFrame = {
     val mutated = embeddings.select(

@@ -88,4 +88,7 @@ object Functions {
     if (a == null || b == null) 0.0 else TextStats.cosine(a.toArray, b.toArray))
   val embedLshUdf = udf((v: Seq[Float]) =>
     if (v == null) 0 else TextStats.embeddingLshBucket(v.toArray))
+  /** Own bucket + all Hamming-1 neighbor buckets (multi-probe candidate keys). */
+  val embedLshProbesUdf = udf((v: Seq[Float]) =>
+    if (v == null) Seq.empty[Int] else TextStats.embeddingLshProbes(v.toArray).toSeq)
 }

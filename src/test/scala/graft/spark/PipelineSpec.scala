@@ -547,7 +547,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expectMh.nonEmpty && expectSim.nonEmpty, "fixture must produce pairs")
   }
 
-  test("cache lifecycle: minHashPairs and cosineNearDupPairs leave nothing cached") {
+  test("cache lifecycle: minHash/simHash/cosine pair operators leave nothing cached") {
     val sp = spark; import sp.implicits._
     assert(spark.sharedState.cacheManager.isEmpty, "precondition: clean cache")
     val corpus = Seq.tabulate(50)(i => (i.toLong, s"some shared words here plus token$i extra"))
@@ -555,12 +555,97 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.minHashPairs(corpus, "doc_id", "text").count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "minHashPairs must unpersist its signature cache")
+    Dedup.simHashPairs(corpus, "doc_id", "text").count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "simHashPairs must unpersist its signature cache")
     val emb = Seq.tabulate(50)(i =>
       (i.toLong, Array.tabulate(8)(d => (d + 1).toFloat * (1 + (i % 3) * 0.001f)), 0))
       .toDF("vec_id", "embedding", "label")
     Embeddings.cosineNearDupPairs(emb, minCosine = 0.9).count()
     assert(spark.sharedState.cacheManager.isEmpty,
       "cosineNearDupPairs must unpersist its signature cache")
+  }
+
+  test("simHashPairs derives its block count from maxHamming (pigeonhole holds beyond 3)") {
+    val sp = spark; import sp.implicits._
+    // a pair at hamming 5 spread over >4 of the old fixed 16-bit blocks would
+    // need >= 6 blocks; search for a planted pair with hamming in (3, 5] whose
+    // differing bits span ALL FOUR 16-bit quarters — the round-2 split misses
+    // it by construction, the derived 6-block split must find it
+    import graft.kernel.TextStats
+    val baseText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val baseSig = TextStats.simHash(baseText)
+    def quarters(x: Long): Set[Int] =
+      (0 until 4).filter(q => ((x >>> (q * 16)) & 0xFFFFL) != 0L).toSet
+    val variant = (1 to 30000).iterator.map(i => baseText + " w" + i).find { t =>
+      val d = baseSig ^ TextStats.simHash(t)
+      val h = java.lang.Long.bitCount(d)
+      h >= 4 && h <= 5 && quarters(d).size == 4
+    }
+    assert(variant.isDefined, "fixture search must find a 4-quarter-spread near-dup")
+    val df = Seq((1L, baseText), (2L, variant.get)).toDF("doc_id", "text")
+    val got5 = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got5 == Set((1L, 2L)), s"derived 6-block probe must find the pair, got $got5")
+    intercept[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 16)
+    }
+  }
+
+  test("embedding LSH multi-probe: pair straddling ONE hyperplane is still found (P5/P7)") {
+    val sp = spark; import sp.implicits._
+    import graft.kernel.TextStats
+    // engineer a planted pair whose dim-0 nudge flips EXACTLY one hyperplane
+    // sign while keeping cosine >= 0.999 — unreachable by an own-bucket-only
+    // join (the round-2 recall gap)
+    val base = Array.tabulate(16)(d =>
+      (graft.kernel.Hash64.mix(d.toLong * 7 + 1) % 1000).toFloat / 1000f)
+    val b0 = TextStats.embeddingLshBucket(base)
+    val flipped = (1 to 4000).iterator.map { i =>
+      val v = base.clone(); v(0) = v(0) + i * 0.001f; v
+    }.find { v =>
+      val b = TextStats.embeddingLshBucket(v)
+      java.lang.Integer.bitCount(b0 ^ b) == 1 && TextStats.cosine(base, v) >= 0.999
+    }
+    assert(flipped.isDefined, "fixture search must find a one-hyperplane-flipping near-dup")
+    val others = (10 until 40).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        (graft.kernel.Hash64.mix(i.toLong * 16 + d) % 1000).toFloat / 1000f).toSeq, 0)
+    }
+    val df = (Seq((1L, base.toSeq, 0), (2L, flipped.get.toSeq, 0)) ++ others)
+      .toDF("vec_id", "embedding", "label")
+    // P5: the near-dup pair operator must surface (1, 2)
+    val got = Embeddings.cosineNearDupPairs(df, minCosine = 0.999)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"multi-probe must reach the straddling pair, got $got")
+    // P7: querying with vec 1's vector must see vec 2 among candidates
+    val topIds = Embeddings.lshTopK(df, base, 3).collect().map(_.getLong(0)).toSet
+    assert(topIds.contains(2L), s"multi-probe lshTopK must reach the flipped neighbor, got $topIds")
+  }
+
+  test("embedding near-dup recall guarantee: every injected pair within bucket-hamming 1 is found") {
+    val sp = spark; import sp.implicits._
+    import graft.kernel.TextStats
+    val vecs = (0 until 120).map { i =>
+      val v = Array.tabulate(16)(d =>
+        (graft.kernel.Hash64.mix(i.toLong * 16 + d) % 1000).toFloat / 1000f)
+      (i.toLong, v, i % 3)
+    }
+    val df = spark.createDataset(vecs.map { case (id, v, l) => (id, v.toSeq, l) })
+      .toDF("vec_id", "embedding", "label")
+    val withDups = Embeddings.withInjectedNearDups(df, offset = 100000L)
+    val got = Embeddings.cosineNearDupPairs(withDups, minCosine = 0.99)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the GUARANTEE: a pair is found whenever its buckets differ in <= 1 bit
+    // (and the exact-cosine verify passes — the +0.01 nudge keeps cos ~0.9999)
+    for ((id, v, _) <- vecs) {
+      val mutant = v.clone(); mutant(0) = mutant(0) + 0.01f
+      val bh = java.lang.Integer.bitCount(
+        TextStats.embeddingLshBucket(v) ^ TextStats.embeddingLshBucket(mutant))
+      if (bh <= 1 && TextStats.cosine(v, mutant) >= 0.99)
+        assert(got.contains((id, id + 100000L)),
+          s"pair ($id, ${id + 100000L}) at bucket-hamming $bh must be found")
+    }
   }
 
   test("IVF materialized index: probe plan prunes partitions (PartitionFilters on cell)") {
