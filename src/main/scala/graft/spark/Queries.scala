@@ -600,9 +600,14 @@ object Queries {
         cents.flatten.foldLeft(1125899906842597L)((h, f) =>
           h * 257L + java.lang.Float.floatToIntBits(f)))
       // CWD-independent location: the driver may fork Verify from elsewhere
-      val idxPath = sys.props("java.io.tmpdir") + "/graft_ivf_index/" +
-        dir.replaceAll("[^A-Za-z0-9.]+", "_") + "_" + centKey
-      Embeddings.ivfBuildIndex(emb, cents, idxPath)
+      val idxBase = sys.props("java.io.tmpdir") + "/graft_ivf_index"
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val idxName = dirKey + "_" + centKey
+      Embeddings.ivfBuildIndex(emb, cents, s"$idxBase/$idxName")
+      // GC: indexes for this sfDir built by superseded kernels (different
+      // centroid key) are dead weight in the shared tmpdir — drop them
+      Embeddings.pruneStaleIndexes(idxBase, dirKey + "_", idxName)
+      val idxPath = s"$idxBase/$idxName"
       Embeddings.ivfTopKIndexed(s, idxPath, cents, q, k = 10, nProbe = 6)
         .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),

@@ -117,6 +117,47 @@ final class SnapshotLog(tableDir: String) {
     snapshotId
   }
 
+  /** GC — retain the last `keepLast` committed snapshots (always including
+    * the current one) and reclaim everything older: expired manifests are
+    * deleted, then every data file referenced by NO retained manifest is
+    * deleted (a file staged under an old snapshot but still referenced by a
+    * newer append-commit is kept — reference-counted, not age-based). This
+    * completes the story [[commitReplace]] starts: replace stops REFERENCING
+    * old files so the swap stays atomic and time-travel-able; expire is the
+    * explicit point where history (and disk) is given up.
+    *
+    * Returns (expired manifest count, deleted data file count). Time travel
+    * to an expired snapshot fails fast afterwards ([[filesAt]] requires the
+    * manifest); retained snapshots stay readable.
+    */
+  def expireSnapshots(keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val all = snapshots()
+    if (all.isEmpty) return (0, 0)
+    val keep = all.takeRight(keepLast).toSet ++ currentSnapshot().toSet
+    val drop = all.filterNot(keep)
+    def canon(p: Path): Path = p.toAbsolutePath.normalize
+    val live = keep.flatMap(id => filesAt(id)).map(f => canon(Paths.get(f)))
+    drop.foreach(id => Files.deleteIfExists(manifestPath(id)))
+    var deleted = 0
+    val dataRoot = root.resolve("data")
+    if (Files.isDirectory(dataRoot)) {
+      // pass 1: unreferenced parquet data files
+      Files.walk(dataRoot).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+        .filterNot(p => live.contains(canon(p)))
+        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
+      // pass 2: snapshot dirs left with no live files drop their write residue
+      // (_SUCCESS, checksum sidecars) and the empty directory itself
+      Files.list(dataRoot).iterator().asScala.filter(Files.isDirectory(_)).foreach { d =>
+        val contents = Files.walk(d).iterator().asScala.toSeq
+        if (!contents.exists(p => live.contains(canon(p))))
+          contents.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+    (drop.size, deleted)
+  }
+
   /** Abort a staged (uncommitted) snapshot: delete its data directory. */
   def abort(snapshotId: Long): Unit = {
     val d = dataDir(snapshotId)

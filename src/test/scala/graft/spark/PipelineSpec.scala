@@ -488,6 +488,95 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.scan(spark, Schemas.extractedSchema).count() == corpusSize)
   }
 
+  test("expireSnapshots: reclaims unreferenced files, keeps reference-counted ones, bounds history") {
+    val sp = spark; import sp.implicits._
+    // case 1: append lineage — snap 1 keeps snap 0's files; expiring down to
+    // the last snapshot must DELETE manifest 0 but KEEP its data files (still
+    // referenced by manifest 1)
+    val dirA = tmpDir("expire_append")
+    ExtractJob.run(spark, spark.createDataset(fixture.take(corpusSize / 2)), dirA, 8)
+    ExtractJob.run(spark, spark.createDataset(fixture), dirA, 8)
+    val logA = new SnapshotLog(dirA)
+    val (droppedA, deletedA) = logA.expireSnapshots(keepLast = 1)
+    assert(droppedA == 1 && deletedA == 0,
+      s"append lineage: manifest expired but files still referenced ($droppedA, $deletedA)")
+    assert(logA.snapshots() == Seq(1L))
+    assert(logA.scan(spark, Schemas.extractedSchema).count() == corpusSize)
+    intercept[IllegalArgumentException](logA.filesAt(0L))
+    // case 2: replace lineage — snap 2 (force) references only its own files;
+    // expiring must reclaim snap 0/1's data files and their directories
+    val dirB = tmpDir("expire_replace")
+    val all = spark.createDataset(fixture)
+    ExtractJob.run(spark, spark.createDataset(fixture.take(corpusSize / 2)), dirB, 8)
+    ExtractJob.run(spark, all, dirB, 8)
+    ExtractJob.run(spark, all, dirB, 8, force = true)
+    val logB = new SnapshotLog(dirB)
+    val liveBefore = logB.currentFiles().toSet
+    val (droppedB, deletedB) = logB.expireSnapshots(keepLast = 1)
+    assert(droppedB == 2 && deletedB > 0, s"replace lineage ($droppedB, $deletedB)")
+    assert(logB.snapshots() == Seq(2L))
+    assert(logB.currentFiles().toSet == liveBefore)
+    assert(logB.scan(spark, Schemas.extractedSchema).count() == corpusSize)
+    assert(!java.nio.file.Files.exists(logB.dataDir(0L)), "snap-0 dir must be reclaimed")
+    assert(!java.nio.file.Files.exists(logB.dataDir(1L)), "snap-1 dir must be reclaimed")
+    // current snapshot is always retained even when keepLast exceeds history
+    assert(logB.expireSnapshots(keepLast = 5) == ((0, 0)))
+  }
+
+  test("manifest scale: a snapshot listing thousands of files plans and commits without blow-up") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("manifest_scale")
+    val log = new SnapshotLog(dir)
+    // stage a 2048-part write (the 100 TB shape: many data files per snapshot)
+    val rows = spark.range(4096).select(col("id"), (col("id") % 7).as("v"))
+    rows.repartition(2048).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    val t0 = System.nanoTime()
+    log.commit(0L)
+    val commitSec = (System.nanoTime() - t0) / 1e9
+    assert(log.currentFiles().size >= 1900, // AQE may coalesce a few empties
+      s"got ${log.currentFiles().size} files")
+    assert(commitSec < 5.0, f"manifest commit took $commitSec%.1f s — driver-side blow-up")
+    // scan planning over the full manifest stays sane and correct
+    val t1 = System.nanoTime()
+    val n = log.scan(spark, rows.schema).count()
+    val scanSec = (System.nanoTime() - t1) / 1e9
+    assert(n == 4096)
+    assert(scanSec < 60.0, f"scan over 2k manifest files took $scanSec%.1f s")
+    // an append commit re-listing all parent files stays cheap too
+    rows.limit(16).repartition(2).write.mode("overwrite").parquet(log.stageDataDir(1L))
+    val t2 = System.nanoTime()
+    log.commit(1L)
+    assert((System.nanoTime() - t2) / 1e9 < 5.0, "append commit re-listing 2k files")
+    assert(log.scan(spark, rows.schema).count() == 4096 + 16)
+  }
+
+  test("IVF index build publishes atomically and prunes stale sibling indexes") {
+    val sp = spark; import sp.implicits._
+    val emb = Seq.tabulate(100)(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.61 + d).toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Embeddings.ivfTrain(emb, k = 4, iters = 1)
+    val base = tmpDir("ivf_gc")
+    // plant a stale index (old centroid key) and an orphaned staging dir
+    val staleDir = java.nio.file.Paths.get(base, "sf_test_deadbeef")
+    val orphanTmp = java.nio.file.Paths.get(base, "sf_test_cafe.tmp-orphan")
+    java.nio.file.Files.createDirectories(staleDir)
+    java.nio.file.Files.createDirectories(orphanTmp)
+    val keep = "sf_test_livekey"
+    Embeddings.ivfBuildIndex(emb, cents, s"$base/$keep")
+    Embeddings.pruneStaleIndexes(base, "sf_test_", keep)
+    val left = new java.io.File(base).listFiles().map(_.getName).toSet
+    assert(left == Set(keep), s"stale siblings must be gone, got $left")
+    // no .tmp- staging dir remains after a successful publish
+    assert(!left.exists(_.contains(".tmp-")))
+    // idempotent rebuild is a no-op (the _SUCCESS probe) and the index works
+    Embeddings.ivfBuildIndex(emb, cents, s"$base/$keep")
+    val q = Array.tabulate(8)(d => math.sin(0.61 + d).toFloat)
+    val got = Embeddings.ivfTopKIndexed(spark, s"$base/$keep", cents, q, k = 3, nProbe = 2)
+      .collect()
+    assert(got.nonEmpty && got.head.getLong(0) == 1L)
+  }
+
   test("simhash multi-probe: near-dup differing in a TOP-16 bit is still found (hamming<=3)") {
     val sp = spark; import sp.implicits._
     // find a word substitution that flips >= 1 of the top-16 simhash bits and
