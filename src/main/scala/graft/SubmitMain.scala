@@ -40,14 +40,23 @@ object SubmitMain {
     sys.exit(2)
   }
 
+  /** Raised when there is nothing to bundle — the engine analog of the
+    * reference's 404 "No files found to download" (claim.py:84-85).
+    */
+  final case class NothingToBundle(dir: String)
+    extends RuntimeException(s"no files found to download in $dir")
+
   /** S6 analog (claim.py:79-94 zip-download sink): collapse the matched table
     * into ONE artifact file for handoff. coalesce(1) is the point here — a
     * download is a single stream — never use this shape for corpus-sized
-    * tables.
+    * tables. An empty matched table raises [[NothingToBundle]] instead of
+    * writing an empty artifact (claim.py:84-85's 404 guard).
     */
-  def bundle(spark: SparkSession, matchedDir: String, bundleDir: String): Unit =
-    spark.read.parquet(matchedDir).coalesce(1)
-      .write.mode("overwrite").parquet(bundleDir)
+  def bundle(spark: SparkSession, matchedDir: String, bundleDir: String): Unit = {
+    val matched = spark.read.parquet(matchedDir)
+    if (matched.isEmpty) throw NothingToBundle(matchedDir)
+    matched.coalesce(1).write.mode("overwrite").parquet(bundleDir)
+  }
 
   def main(args: Array[String]): Unit = {
     if (args.length < 3) usage()

@@ -450,6 +450,13 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(f => f.getName.endsWith(".parquet") && f.isFile)
     assert(parts.length == 1, s"bundle must be ONE file, got ${parts.length}")
     assert(spark.read.parquet(bdir).count() == 20)
+    // empty matched table -> NothingToBundle (the 404 guard, claim.py:84-85)
+    val emptyDir = tmpDir("bundle_empty")
+    spark.createDataset(fixture.take(20)).toDF().filter(lit(false))
+      .write.mode("overwrite").parquet(emptyDir)
+    intercept[graft.SubmitMain.NothingToBundle] {
+      graft.SubmitMain.bundle(spark, emptyDir, tmpDir("bundle_empty_out") + "/a")
+    }
   }
 
   test("force re-extract: reprocesses all urls and replaces the table (claim.py:34 semantics)") {
