@@ -47,14 +47,21 @@ object Dedup {
       materialize: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // one shingling pass; persisted because the LSH self-join reads this twice
+    // one shingling pass; persisted because the plan reads it four times (both
+    // band-join sides + both signature re-attach joins)
     // (LRU-evicted, MEMORY_AND_DISK — signatures are ~0.5KB/doc, never the text)
     val sigs = docs.select(
       col(idCol).cast("long").as("id"),
       Functions.minHashUdf(col(textCol)).as("sig"))
       .withColumn("bands", Functions.bandsFromSigUdf(col("sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("id"), col("sig"), posexplode(col("bands")).as(Seq("band", "key")))
+    // SKINNY band join: the exploded rows carry (band, key, id) ONLY — the
+    // 0.5 KB signature must not ride through 16 band-join rows (8 KB/doc of
+    // shuffle at 100 TB where 12 B/row suffices). Signatures re-attach to the
+    // deduped candidate PAIRS afterwards via two id-joins against the
+    // persisted relation; jac(a,b) is band-independent, so verifying once per
+    // distinct pair is value-identical to the per-band-then-max form.
+    val banded = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
     // cap pathological buckets BEFORE the self-join: the count agg carries only
     // (band, key) and is map-side-combined; the hot-key list (rare by
     // construction — every member is a near-identical mass duplicate) then
@@ -63,16 +70,19 @@ object Dedup {
       .filter(col("count") > maxBucketSize)
       .select("band", "key")
     val pruned = banded.join(broadcast(hot), Seq("band", "key"), "left_anti")
-    val l = pruned.select(col("band"), col("key"), col("id").as("a"), col("sig").as("sig_a"))
-    val r = pruned.select(col("band"), col("key"), col("id").as("b"), col("sig").as("sig_b"))
+    val l = pruned.select(col("band"), col("key"), col("id").as("a"))
+    val r = pruned.select(col("band"), col("key"), col("id").as("b"))
     val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
       graft.kernel.TextStats.minHashJaccard(a.toArray, b.toArray))
-    val pairs = l.join(r, Seq("band", "key"))
+    val cand = l.join(r, Seq("band", "key"))
       .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct() // collapse multi-band discoveries BEFORE fetching signatures
+    val pairs = cand
+      .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), Seq("b"))
       .select(col("a"), col("b"), jacUdf(col("sig_a"), col("sig_b")).as("jac"))
       .filter(col("jac") >= minJaccard)
-      .groupBy("a", "b")
-      .agg(max("jac").as("jac"))
       .select(col("a"), col("b"), (col("jac") * 1000).cast("long").as("jac_permille"))
     if (!materialize) return pairs
     // Materialize the (small) pair set eagerly, then release the signature

@@ -70,8 +70,14 @@ object Embeddings {
     * against the build side's own bucket. Any pair whose buckets differ in at
     * most ONE hyperplane sign is therefore found BY CONSTRUCTION — a
     * 0.9999-cosine pair straddling a single hyperplane was unreachable with
-    * the previous own-bucket-only join. The shuffle key stays the 12-bit
-    * bucket; the probe side carries 13x rows (bounded, corpus-linear).
+    * the previous own-bucket-only join.
+    *
+    * SKINNY probe: both bucket-join sides carry (bucket, id) ONLY — a
+    * 768-dim embedding is ~3 KB, and riding it through 13 probe rows would
+    * shuffle 13x the corpus's vector bytes where 12 B/row suffices. Vectors
+    * re-attach to the deduped candidate PAIRS via two id-joins against the
+    * persisted relation; cosine(a,b) is bucket-independent, so verifying once
+    * per distinct pair is value-identical to per-bucket-then-max.
     */
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double,
       maxBucketSize: Int = 10000,
@@ -93,17 +99,19 @@ object Embeddings {
     val hot = sigs.groupBy("bucket").count()
       .filter(col("count") > maxBucketSize).select("bucket")
     val l = sigs
-      .select(explode(col("probes")).as("bucket"), col("id").as("a"),
-        col("embedding").as("va"))
+      .select(explode(col("probes")).as("bucket"), col("id").as("a"))
       .join(broadcast(hot), Seq("bucket"), "left_anti")
-    val r = sigs.select(col("bucket"), col("id").as("b"), col("embedding").as("vb"))
+    val r = sigs.select(col("bucket"), col("id").as("b"))
       .join(broadcast(hot), Seq("bucket"), "left_anti")
-    val pairs = l.join(r, Seq("bucket"))
+    val cand = l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct() // collapse multi-probe discoveries BEFORE fetching vectors
+    val pairs = cand
+      .join(sigs.select(col("id").as("a"), col("embedding").as("va")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("embedding").as("vb")), Seq("b"))
       .select(col("a"), col("b"), cosinePairCol(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCosine)
-      .groupBy("a", "b") // a pair can collide in several buckets at scale
-      .agg(max("cos").as("cos"))
       .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cosine_ppm"))
     if (!materialize) return pairs // plan-audit path: caller owns sigs' lifecycle
     // materialize the (small) pair set, then release the signature cache —
