@@ -45,6 +45,37 @@ object DedupProbe {
     time("full minHashPairs") {
       Dedup.minHashPairs(corpus, "doc_id", "text", minJaccard = 0.5).count(): Unit
     }
+
+    // scale-up hold: does the pair pass stay linear as the corpus grows?
+    // (LSH candidate generation is O(docs x bands); a super-linear trend here
+    // would mean a quadratic bucket leak.) Each replica salts EVERY token with
+    // its replica id, so cross-replica word-trigram overlap is exactly zero:
+    // the within-replica similarity structure is preserved verbatim and the
+    // true pair count is exactly mult x the base corpus's.
+    val saltUdf = udf((text: String, rep: Long) => {
+      val toks = text.split("\\s+")
+      val suffix = "·" + rep
+      val b = new StringBuilder(text.length + toks.length * suffix.length)
+      var i = 0
+      while (i < toks.length) {
+        if (b.nonEmpty) b += ' '
+        b ++= toks(i); b ++= suffix
+        i += 1
+      }
+      b.toString
+    })
+    for (mult <- Seq(1, 2, 5, 10)) {
+      val reps = spark.range(mult).select(col("id").as("rep"))
+      val bigger = corpus.crossJoin(reps)
+        .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+          saltUdf(col("text"), col("rep")).as("text"))
+        .localCheckpoint(true) // materialize: time the PAIR pass, not synthesis
+      val nDocs = bigger.count()
+      val t0 = System.nanoTime()
+      val n = Dedup.minHashPairs(bigger, "doc_id", "text", minJaccard = 0.5).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"minHashPairs x$mult%-2d docs=$nDocs%8d pairs=$n%9d  $sec%6.2f s")
+    }
     spark.stop()
   }
 }

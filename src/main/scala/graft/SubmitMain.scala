@@ -36,7 +36,8 @@ object SubmitMain {
       """usage:
         |  extract <pagesParquet> <tableDir> [numBuckets=32] [--force]
         |  search  <tableDir> <matchedDir> Field=value...
-        |  bundle  <matchedDir> <bundleDir>""".stripMargin)
+        |  bundle  <matchedDir> <bundleDir>
+        |  expire  <tableDir> <keepLast>""".stripMargin)
     sys.exit(2)
   }
 
@@ -104,6 +105,13 @@ object SubmitMain {
           val Array(_, matchedDir, bundleDir) = args.take(3)
           bundle(spark, matchedDir, bundleDir)
           println(s"bundled $matchedDir -> $bundleDir (single artifact)")
+        case "expire" =>
+          // snapshot GC (C7): retain the last <keepLast> snapshots, reclaim
+          // expired manifests + data files no retained manifest references
+          val Array(_, tableDir, keepStr) = args.take(3)
+          val (manifests, files) = new SnapshotLog(tableDir)
+            .expireSnapshots(keepStr.toInt)
+          println(s"expired $manifests snapshots, deleted $files data files")
         case _ => usage()
       }
     } finally spark.stop()
