@@ -37,7 +37,8 @@ object SubmitMain {
         |  extract <pagesParquet> <tableDir> [numBuckets=32] [--force]
         |  search  <tableDir> <matchedDir> Field=value...
         |  bundle  <matchedDir> <bundleDir>
-        |  expire  <tableDir> <keepLast>""".stripMargin)
+        |  expire  <tableDir> <keepLast>
+        |  compact <tableDir> [targetFiles=128]""".stripMargin)
     sys.exit(2)
   }
 
@@ -112,6 +113,15 @@ object SubmitMain {
           val (manifests, files) = new SnapshotLog(tableDir)
             .expireSnapshots(keepStr.toInt)
           println(s"expired $manifests snapshots, deleted $files data files")
+        case "compact" =>
+          // small-file compaction (C8): bin-pack the current snapshot into
+          // fewer, larger data files as a new replace snapshot
+          val tableDir = args(1)
+          val target = if (args.length > 2) args(2).toInt else 128
+          new SnapshotLog(tableDir).compact(spark, Schemas.extractedSchema, target) match {
+            case Some(id) => println(s"compacted $tableDir into <= $target files (snapshot $id)")
+            case None => println(s"$tableDir already at or under $target files; no-op")
+          }
         case _ => usage()
       }
     } finally spark.stop()

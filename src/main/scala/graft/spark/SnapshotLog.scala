@@ -158,6 +158,39 @@ final class SnapshotLog(tableDir: String) {
     (drop.size, deleted)
   }
 
+  /** Compaction — bin-pack the current snapshot's data files into at most
+    * `targetFiles` larger ones and commit the rewrite as a replace snapshot
+    * (content byte-identical, same schema, new file layout). At 100 TB the
+    * per-batch commit cadence is what kills you: thousands of incremental
+    * appends × numBuckets part files each = millions of small files, and scan
+    * planning + open() overhead come to dominate the read path. This is the
+    * `rewrite_data_files` analog of real Iceberg.
+    *
+    * The rewrite uses `coalesce` (narrow bin-packing — no shuffle: at scale
+    * the whole point is to move bytes once, executor-local, not re-exchange
+    * them; rows keep their bucket column, only file-level alignment of one
+    * bucket per file is given up). Crash-safe like any commit: staged files
+    * are invisible until the manifest swap, and a half-written stage for this
+    * id is cleared first so a crashed compaction can never leak duplicate
+    * rows into a later commit of the same id. History stays time-travel-able
+    * until [[expireSnapshots]] reclaims the pre-compaction files.
+    *
+    * Returns the new snapshot id, or None when already at or under target.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      targetFiles: Int = 128): Option[Long] = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    if (currentFiles().size <= targetFiles) return None
+    val id = nextSnapshotId()
+    abort(id) // clear crashed staging residue before reusing the directory
+    try {
+      scan(spark, schema).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(stageDataDir(id))
+      Some(commitReplace(id))
+    } catch { case e: Throwable => abort(id); throw e }
+  }
+
   /** Abort a staged (uncommitted) snapshot: delete its data directory. */
   def abort(snapshotId: Long): Unit = {
     val d = dataDir(snapshotId)

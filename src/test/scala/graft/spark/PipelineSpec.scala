@@ -557,6 +557,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.scan(spark, rows.schema).count() == 4096 + 16)
   }
 
+  test("compact: bin-packs small files into a replace snapshot with identical content") {
+    val dir = tmpDir("compact")
+    val log = new SnapshotLog(dir)
+    // two append commits, each fragmented into 32 part files (the shape that
+    // accumulates at 100 TB: per-batch commit cadence x numBuckets files)
+    val rows = spark.range(2000).select(col("id"), (col("id") % 7).as("v"))
+    rows.filter(col("id") < 1000).repartition(32)
+      .write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    rows.filter(col("id") >= 1000).repartition(32)
+      .write.mode("overwrite").parquet(log.stageDataDir(1L))
+    log.commit(1L)
+    assert(log.currentFiles().size > 8)
+    val before = log.scan(spark, rows.schema).orderBy("id").collect().toSeq
+    assert(log.compact(spark, rows.schema, targetFiles = 8).contains(2L))
+    assert(log.currentFiles().size <= 8)
+    assert(log.scan(spark, rows.schema).orderBy("id").collect().toSeq == before)
+    // pre-compaction history stays time-travel-able until expired
+    assert(log.scan(spark, rows.schema, asOf = Some(1L)).count() == 2000)
+    // already at/under target -> no-op, no new snapshot
+    assert(log.compact(spark, rows.schema, targetFiles = 8).isEmpty)
+    assert(log.snapshots() == Seq(0L, 1L, 2L))
+    // GC then reclaims the fragmented pre-compaction files
+    val (dropped, deleted) = log.expireSnapshots(keepLast = 1)
+    assert(dropped == 2 && deleted >= 60, s"($dropped, $deleted)")
+    assert(log.scan(spark, rows.schema).orderBy("id").collect().toSeq == before)
+  }
+
   test("IVF index build publishes atomically and prunes stale sibling indexes") {
     val sp = spark; import sp.implicits._
     val emb = Seq.tabulate(100)(i =>
