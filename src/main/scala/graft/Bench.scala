@@ -149,9 +149,16 @@ object Bench {
   private def emit(line: String): Unit = {
     println(line)
     try System.err.println(line) catch { case _: Throwable => () }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench.json"), line + "\n")
-    catch { case _: Throwable => () } // best-effort: stdout already has it
+    // CWD-independent fallbacks: target/ only exists when run from the repo
+    // root, so also drop the line in the system tmpdir (mirrors the IVF
+    // index's CWD-independence fix — the driver may fork from elsewhere)
+    for (p <- Seq(
+        java.nio.file.Paths.get("target/bench.json"),
+        java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_bench.json")))
+      try {
+        Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(p, line + "\n")
+      } catch { case _: Throwable => () } // best-effort: stdout already has it
   }
 
   /** Contract: always prints exactly one JSON line, even on total failure —

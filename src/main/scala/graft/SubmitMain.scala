@@ -61,7 +61,9 @@ object SubmitMain {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length < 3) usage()
+    // compact's targetFiles is optional; every other subcommand needs 3 args
+    val minArgs = if (args.headOption.contains("compact")) 2 else 3
+    if (args.length < minArgs) usage()
     val spark = SparkSession.builder()
       .appName(s"graft-${args(0)}")
       .config("spark.sql.adaptive.enabled", "true")

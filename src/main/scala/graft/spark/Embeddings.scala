@@ -94,12 +94,15 @@ object Embeddings {
     // mass-duplicate guard (same rationale as Dedup.minHashPairs): a vector
     // repeated 10^9 times makes one bucket quadratic; cap and route those to
     // exact dedup on a vector digest instead. Hot keys are detected on the
-    // own-bucket histogram and pruned from BOTH sides (a probe key landing in
-    // a hot bucket would re-create the quadratic join).
-    val hot = sigs.groupBy("bucket").count()
+    // EXPLODED probe-key histogram, not own buckets alone: a mass-dup cluster
+    // floods each of its 12 Hamming-1 neighbor keys with its full multiplicity
+    // too, so l-side rows into those keys would re-create the quadratic join
+    // even after the own bucket is pruned (probe count >= own count per key,
+    // so this histogram strictly dominates the own-bucket one).
+    val probed = sigs.select(explode(col("probes")).as("bucket"), col("id").as("a"))
+    val hot = probed.groupBy("bucket").count()
       .filter(col("count") > maxBucketSize).select("bucket")
-    val l = sigs
-      .select(explode(col("probes")).as("bucket"), col("id").as("a"))
+    val l = probed
       .join(broadcast(hot), Seq("bucket"), "left_anti")
     val r = sigs.select(col("bucket"), col("id").as("b"))
       .join(broadcast(hot), Seq("bucket"), "left_anti")
@@ -238,11 +241,20 @@ object Embeddings {
     try java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException
-           | _: java.nio.file.AccessDeniedException =>
-        // lost the publish race: an equivalent index (same centroid key in the
-        // path) is already in place — discard ours
-        deleteTree(tmp)
+      // FileAlreadyExists / AccessDenied / DirectoryNotEmpty — the last often
+      // surfaced by UnixCopyFile as a bare FileSystemException ("Directory
+      // not empty"), so catch the common supertype and branch on _SUCCESS
+      case _: java.nio.file.FileSystemException =>
+        if (java.nio.file.Files.exists(target.resolve("_SUCCESS")))
+          deleteTree(tmp) // lost the publish race to an equivalent index
+        else
+          // a stale PARTIAL dir (no _SUCCESS — e.g. a crashed non-atomic
+          // writer) would block the rename forever: replace it with ours
+          try {
+            deleteTree(target)
+            java.nio.file.Files.move(tmp, target,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } catch { case _: java.io.IOException => deleteTree(tmp) }
     }
   }
 
@@ -250,15 +262,25 @@ object Embeddings {
     * under `baseDir` whose name starts with `prefix` (older centroid keys
     * from superseded kernels, orphaned `.tmp-` staging dirs) — repeated
     * builds must not accumulate dead indexes in the shared tmpdir.
+    *
+    * AGE-GATED (Iceberg orphan-removal style): only siblings untouched for
+    * `minAgeMs` are deleted, so a CONCURRENT builder's in-flight `.tmp-`
+    * staging dir (recently modified) is never yanked mid-write, and an
+    * older-kernel driver gets a grace window on its live index. A reader
+    * outliving the window can still lose its index — the inherent GC
+    * tradeoff; raise `minAgeMs` to taste.
     */
-  def pruneStaleIndexes(baseDir: String, prefix: String, keep: String): Unit = {
+  def pruneStaleIndexes(baseDir: String, prefix: String, keep: String,
+      minAgeMs: Long = 3600000L): Unit = {
     val base = java.nio.file.Paths.get(baseDir)
     if (!java.nio.file.Files.isDirectory(base)) return
+    val cutoff = System.currentTimeMillis() - minAgeMs
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(base).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith(prefix) && n != keep
+        n.startsWith(prefix) && n != keep &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
       }
       .toSeq.foreach(deleteTree)
   }

@@ -119,9 +119,13 @@ final class SnapshotLog(tableDir: String) {
 
   /** GC — retain the last `keepLast` committed snapshots (always including
     * the current one) and reclaim everything older: expired manifests are
-    * deleted, then every data file referenced by NO retained manifest is
-    * deleted (a file staged under an old snapshot but still referenced by a
-    * newer append-commit is kept — reference-counted, not age-based). This
+    * deleted, then every data file reachable from an EXPIRED manifest but
+    * from no retained one is deleted (a file staged under an old snapshot
+    * but still referenced by a newer append-commit is kept — reference-
+    * counted, not age-based; a concurrent writer's staged-but-uncommitted
+    * files are referenced by no manifest and are never touched — orphan
+    * cleanup after a crash is [[abort]]'s job, per Iceberg's split between
+    * expire_snapshots and remove_orphan_files). This
     * completes the story [[commitReplace]] starts: replace stops REFERENCING
     * old files so the swap stays atomic and time-travel-able; expire is the
     * explicit point where history (and disk) is given up.
@@ -138,22 +142,21 @@ final class SnapshotLog(tableDir: String) {
     val drop = all.filterNot(keep)
     def canon(p: Path): Path = p.toAbsolutePath.normalize
     val live = keep.flatMap(id => filesAt(id)).map(f => canon(Paths.get(f)))
+    // only files REACHABLE FROM EXPIRED MANIFESTS are deletion candidates
+    // (Iceberg expire semantics) — a concurrent writer's staged-but-
+    // uncommitted files are referenced by no manifest at all and must
+    // survive, or its upcoming commit would reference deleted files
+    val dropped = drop.flatMap(id => filesAt(id)).map(f => canon(Paths.get(f))).toSet
     drop.foreach(id => Files.deleteIfExists(manifestPath(id)))
     var deleted = 0
-    val dataRoot = root.resolve("data")
-    if (Files.isDirectory(dataRoot)) {
-      // pass 1: unreferenced parquet data files
-      Files.walk(dataRoot).iterator().asScala
-        .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-        .filterNot(p => live.contains(canon(p)))
-        .foreach { p => Files.deleteIfExists(p); deleted += 1 }
-      // pass 2: snapshot dirs left with no live files drop their write residue
-      // (_SUCCESS, checksum sidecars) and the empty directory itself
-      Files.list(dataRoot).iterator().asScala.filter(Files.isDirectory(_)).foreach { d =>
-        val contents = Files.walk(d).iterator().asScala.toSeq
-        if (!contents.exists(p => live.contains(canon(p))))
-          contents.reverse.foreach(Files.deleteIfExists(_))
-      }
+    (dropped -- live).foreach { p => if (Files.deleteIfExists(p)) deleted += 1 }
+    // expired snapshots' data dirs left with no parquet drop their write
+    // residue (_SUCCESS, checksum sidecars) and the empty directory itself;
+    // dirs of staged or retained snapshots are never touched
+    drop.map(dataDir).filter(Files.isDirectory(_)).foreach { d =>
+      val contents = Files.walk(d).iterator().asScala.toSeq
+      if (!contents.exists(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")))
+        contents.reverse.foreach(Files.deleteIfExists(_))
     }
     (drop.size, deleted)
   }

@@ -41,13 +41,19 @@ object StreamingStats {
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)
+  final case class SessionsState(open: List[SessionState])
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
 
-  /** Gap-based sessionization with explicit state: one state row per open
-    * user; a session closes (and emits) when no event arrives within
-    * `gapMs` of event time, enforced by an event-time timeout tied to the
-    * watermark. The custom-state (`flatMapGroupsWithState`) shape — what
-    * windowed aggregates can't express.
+  /** Gap-based sessionization with explicit state: per user, a LIST of
+    * disjoint open sessions (not just one — an out-of-order event legal
+    * within the watermark may start a separate session more than `gapMs`
+    * BEFORE the currently-open one, or bridge two open sessions into one).
+    * A session emits once the watermark passes its last event + `gapMs`,
+    * enforced by an event-time timeout on the earliest open session. The
+    * custom-state (`flatMapGroupsWithState`) shape — what windowed
+    * aggregates can't express. State stays small: open sessions all end
+    * within the watermark horizon of `max ts`, so the list is bounded by
+    * horizon / gap entries.
     */
   def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
     val spark = events.sparkSession
@@ -57,37 +63,37 @@ object StreamingStats {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(Session(user, s.start, s.last, s.n))
-          } else {
-            // fold the batch's events into the open session; emit any session
-            // closed by a gap WITHIN the batch, keep the final one open
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            for (e <- sorted) {
+        (user: Long, it: Iterator[Event], state: GroupState[SessionsState]) =>
+          def flush(open: List[SessionState]): Iterator[Session] = {
+            // emit every session the watermark has sealed (no event can land
+            // within gap of it anymore); keep the rest, timeout on the earliest
+            val wm = state.getCurrentWatermarkMs()
+            val (closed, kept) = open.partition(s => s.last + gapMs <= wm)
+            if (kept.nonEmpty) {
+              state.update(SessionsState(kept))
+              state.setTimeoutTimestamp(kept.map(_.last).min + gapMs)
+            } else state.remove()
+            closed.iterator.map(s => Session(user, s.start, s.last, s.n))
+          }
+          if (state.hasTimedOut) flush(state.get.open)
+          else {
+            // fold the batch's events into the open-session list: an event
+            // merges every open session within gapMs of it (possibly bridging
+            // two) or opens a new one; rows below the watermark were already
+            // dropped upstream, so every fold here is watermark-legal
+            var open = state.getOption.map(_.open).getOrElse(Nil)
+            for (e <- it) {
               val t = e.ts.getTime
-              open = open match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // min/max merge: an out-of-order event (legal within the
-                  // watermark) earlier than state's `last` must never move the
-                  // session end backward — that would under-report end_ms and
-                  // pull the event-time timeout before the true last + gap
-                  Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
-                case Some(s) =>
-                  closed += Session(user, s.start, s.last, s.n)
-                  Some(SessionState(t, t, 1))
-                case None => Some(SessionState(t, t, 1))
-              }
+              val (near, far) = open.partition(s => t >= s.start - gapMs && t <= s.last + gapMs)
+              val merged =
+                if (near.isEmpty) SessionState(t, t, 1)
+                else SessionState(
+                  math.min(near.map(_.start).min, t),
+                  math.max(near.map(_.last).max, t),
+                  near.map(_.n).sum + 1)
+              open = merged :: far
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
-            }
-            closed.result().iterator
+            flush(open)
           }
       }
   }

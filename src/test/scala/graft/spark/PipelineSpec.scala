@@ -283,6 +283,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall(_._3 >= 990000L), "every reported pair passed the exact verify")
   }
 
+  test("embeddings: mass-duplicate vector cluster is capped out of the LSH pair join") {
+    val sp = spark; import sp.implicits._
+    val base = (0 until 30).map { i =>
+      val v = Array.tabulate(16)(d =>
+        (graft.kernel.Hash64.mix(i.toLong * 16 + d) % 1000).toFloat / 1000f)
+      (i.toLong, v.toSeq, i % 3)
+    }
+    // one vector repeated 40x: its own bucket AND its 12 Hamming-1 probe keys
+    // all carry multiplicity 40 — the cap must count the EXPLODED probe rows,
+    // or the neighbor keys re-create the quadratic join the own-bucket cap
+    // just pruned
+    val massVec = Array.tabulate(16)(d => (d % 5).toFloat / 5f).toSeq
+    val mass = (100 until 140).map(i => (i.toLong, massVec, 0))
+    val df = spark.createDataset(base).toDF("vec_id", "embedding", "label")
+    val withDups = Embeddings.withInjectedNearDups(df, offset = 100000L)
+      .unionByName(spark.createDataset(mass).toDF("vec_id", "embedding", "label"))
+    val pairs = Embeddings.cosineNearDupPairs(withDups, minCosine = 0.99,
+      maxBucketSize = 35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    val massIds = pairs.flatMap(p => Seq(p._1, p._2)).filter(id => id >= 100L && id < 140L)
+    assert(massIds.isEmpty, s"mass-dup ids leaked into LSH pairs: $massIds")
+    // the cap must not collateral-damage normal keys: injected pairs still found
+    val expected = base.map { case (id, _, _) => (id, id + 100000L) }.toSet
+    val got = pairs.toSet
+    assert((expected & got).size >= expected.size * 3 / 4,
+      s"only ${(expected & got).size} of ${expected.size} injected pairs found")
+  }
+
   test("embeddings: IVF probe finds the exact top-1 and high top-k recall") {
     val sp = spark; import sp.implicits._
     // clustered data: 8 well-separated centers, small deterministic jitter
@@ -519,7 +547,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     ExtractJob.run(spark, all, dirB, 8, force = true)
     val logB = new SnapshotLog(dirB)
     val liveBefore = logB.currentFiles().toSet
+    // a concurrent writer's staged-but-uncommitted snapshot must survive the
+    // GC (referenced by no manifest != expired): deleting it would corrupt
+    // that writer's upcoming commit
+    val stagedId = logB.nextSnapshotId()
+    all.limit(5).toDF().write.mode("overwrite")
+      .parquet(logB.stageDataDir(stagedId))
+    val stagedBefore = logB.stagedFiles(stagedId)
+    assert(stagedBefore.nonEmpty)
     val (droppedB, deletedB) = logB.expireSnapshots(keepLast = 1)
+    assert(logB.stagedFiles(stagedId) == stagedBefore,
+      "staged-uncommitted files must survive expireSnapshots")
+    logB.abort(stagedId) // the crashed-writer cleanup path
     assert(droppedB == 2 && deletedB > 0, s"replace lineage ($droppedB, $deletedB)")
     assert(logB.snapshots() == Seq(2L))
     assert(logB.currentFiles().toSet == liveBefore)
@@ -592,18 +631,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding", "label")
     val cents = Embeddings.ivfTrain(emb, k = 4, iters = 1)
     val base = tmpDir("ivf_gc")
-    // plant a stale index (old centroid key) and an orphaned staging dir
+    // plant a stale index (old centroid key), an orphaned staging dir, and an
+    // in-flight one; age the first two past the GC window
     val staleDir = java.nio.file.Paths.get(base, "sf_test_deadbeef")
     val orphanTmp = java.nio.file.Paths.get(base, "sf_test_cafe.tmp-orphan")
+    val inflightTmp = java.nio.file.Paths.get(base, "sf_test_cafe.tmp-inflight")
     java.nio.file.Files.createDirectories(staleDir)
     java.nio.file.Files.createDirectories(orphanTmp)
+    java.nio.file.Files.createDirectories(inflightTmp)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200000L)
+    java.nio.file.Files.setLastModifiedTime(staleDir, old)
+    java.nio.file.Files.setLastModifiedTime(orphanTmp, old)
     val keep = "sf_test_livekey"
     Embeddings.ivfBuildIndex(emb, cents, s"$base/$keep")
     Embeddings.pruneStaleIndexes(base, "sf_test_", keep)
     val left = new java.io.File(base).listFiles().map(_.getName).toSet
-    assert(left == Set(keep), s"stale siblings must be gone, got $left")
-    // no .tmp- staging dir remains after a successful publish
-    assert(!left.exists(_.contains(".tmp-")))
+    // aged-out siblings gone; the CONCURRENT builder's fresh staging dir must
+    // survive the prune (age gate) — then clean it up for the next assert
+    assert(left == Set(keep, "sf_test_cafe.tmp-inflight"),
+      s"prune must drop aged siblings and keep in-flight staging, got $left")
+    java.nio.file.Files.delete(inflightTmp)
+    // a stale PARTIAL dir (non-empty, no _SUCCESS) must not block publish:
+    // the rename hits DirectoryNotEmptyException and replaces it
+    val partial = java.nio.file.Paths.get(base, "sf_test_partial")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.writeString(partial.resolve("part-junk.parquet"), "x")
+    Embeddings.ivfBuildIndex(emb, cents, s"$base/sf_test_partial")
+    assert(java.nio.file.Files.exists(partial.resolve("_SUCCESS")),
+      "publish must replace a crashed writer's partial index dir")
+    Embeddings.pruneStaleIndexes(base, "sf_test_", keep, minAgeMs = 0L)
     // idempotent rebuild is a no-op (the _SUCCESS probe) and the index works
     Embeddings.ivfBuildIndex(emb, cents, s"$base/$keep")
     val q = Array.tabulate(8)(d => math.sin(0.61 + d).toFloat)

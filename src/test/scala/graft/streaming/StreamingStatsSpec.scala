@@ -114,6 +114,34 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("sessionize: out-of-order event more than gap BEFORE the open session opens its own") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val gapMs = 300000L // 5 min
+    val q = StreamingStats.sessionize(ms.toDS(), gapMs)
+      .writeStream.format("memory").queryName("sessions_pre").outputMode("append").start()
+    try {
+      // batch 1: session at 3600s (watermark from max ts 3600 - 10 min = 3000s)
+      ms.addData(ev(1, 1, "click", 3600))
+      q.processAllAvailable()
+      // batch 2: out-of-order event at 3180s — legal (>= watermark 3000s) but
+      // 7 min BEFORE the open session with a 5-min gap: a SEPARATE session,
+      // not a backward extension of the open one
+      ms.addData(ev(2, 1, "click", 3180))
+      q.processAllAvailable()
+      // flush: two batches so the timeout batch runs after the watermark jump
+      ms.addData(ev(10, 99, "click", 9000))
+      q.processAllAvailable()
+      ms.addData(ev(11, 99, "click", 10000))
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_pre").as[Session].collect()
+        .filter(_.user_id == 1L).map(s => (s.start_ms, s.end_ms, s.n_events)).toSet
+      assert(sessions == Set((3180000L, 3180000L, 1), (3600000L, 3600000L, 1)),
+        s"got $sessions")
+    } finally q.stop()
+  }
+
   test("sessionizeBatch (window-function twin) agrees with streaming sessionize") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
