@@ -88,11 +88,19 @@ object Media {
 
   /** Every `stride`-th frame starting at 0 — decodes only the sampled frames
     * (ceil(n/stride) of n). The frame-sampling primitive of a video pipeline.
+    * The length-prefix chain is walked ONCE; each sampled frame is then
+    * sliced and decoded directly from its (offset, len) — routing through
+    * [[frameAt]] would re-walk the chain per sample (O(n^2/stride)).
     */
   def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Raster.Gray] = {
     if (stride <= 0) return Nil
     val offs = frameOffsets(bytes)
-    (0 until offs.length by stride).flatMap(frameAt(bytes, _))
+    (0 until offs.length by stride).flatMap { i =>
+      val (off, len) = offs(i)
+      val blob = java.util.Arrays.copyOfRange(bytes, off, off + len)
+      if (!Raster.hasMagic(blob)) None
+      else scala.util.Try(Raster.decodeGray(blob)).toOption
+    }
   }
 
   // ---------------------------------------------------------------- audio

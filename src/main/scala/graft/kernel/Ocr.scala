@@ -39,24 +39,39 @@ object Ocr {
       rowInk(y) = cnt
       y += 1
     }
-    val bands = Vector.newBuilder[(Int, Int)] // [top, bottom] inclusive
-    var top = -1
+    // group inked rows by fixed-pitch LINE index rather than by contiguous
+    // bands: a low-ink line ("..." inks only rows 5-6 of its cells) plus one
+    // interior noise pixel at row 1-4 leaves a zero-ink gap inside the line,
+    // which contiguous banding would split into two phantom lines
+    val m = GlyphFont.Margin
+    val byLine = scala.collection.mutable.SortedMap.empty[Int, (Int, Int)]
     y = 0
     while (y < h) {
-      if (rowInk(y) > 0) { if (top < 0) top = y }
-      else if (top >= 0) { bands += ((top, y - 1)); top = -1 }
+      if (rowInk(y) > 0) {
+        val li = math.max(0, (y - m) / GlyphFont.LinePitch)
+        byLine(li) = byLine.get(li) match {
+          case Some((t, b)) => (math.min(t, y), math.max(b, y))
+          case None => (y, y)
+        }
+      }
       y += 1
     }
-    if (top >= 0) bands += ((top, h - 1))
 
-    val lines = bands.result().map { case (bTop, bBot) =>
+    val lines = byLine.values.toSeq.map { case (bTop, bBot) =>
       decodeBand(ink, w, bTop, bBot)
     }
     if (lines.isEmpty) "" else lines.mkString("", "\n", "\n")
   }
 
   /** Decode one line band assuming the font's fixed pitch: cells every
-    * GlyphFont.Advance columns starting at the band's first inked column.
+    * GlyphFont.Advance columns. The anchor SNAPS to the format's fixed grid
+    * (Margin + k*Advance, Margin + li*LinePitch) rather than trusting the
+    * band's first inked pixel — a line whose leading glyph has no ink in its
+    * cell's column 0 ('.', ',', ':', ';') or whose glyphs have no ink in row
+    * 0 (a line of '.'/'-') would otherwise shift the whole grid and decode to
+    * garbage. Floor-snap is exact: first-ink offsets within a cell are always
+    * < Advance (resp. < LinePitch), and the interior-only noise cannot create
+    * ink outside glyph cells.
     */
   private def decodeBand(ink: Array[Boolean], w: Int, bTop: Int, bBot: Int): String = {
     val h = ink.length / w
@@ -74,17 +89,21 @@ object Ocr {
       x += 1
     }
     if (c0 < 0) return ""
+    // snap both anchors down onto the fixed-pitch grid
+    val m = GlyphFont.Margin
+    val x0 = m + math.max(0, (c0 - m) / GlyphFont.Advance) * GlyphFont.Advance
+    val top = m + math.max(0, (bTop - m) / GlyphFont.LinePitch) * GlyphFont.LinePitch
     val sb = new StringBuilder
-    var cell = c0
+    var cell = x0
     while (cell <= c1) {
-      // cell mask on the 5x7 grid anchored at (cell, bTop)
+      // cell mask on the 5x7 grid anchored at (cell, top)
       var mask = 0L
       var bits = 0
       var r = 0
       while (r < GlyphFont.H) {
         var col = 0
         while (col < GlyphFont.W) {
-          if (inked(cell + col, bTop + r) && bTop + r <= bBot) {
+          if (inked(cell + col, top + r) && top + r <= bBot) {
             mask |= 1L << (r * GlyphFont.W + col)
             bits += 1
           }

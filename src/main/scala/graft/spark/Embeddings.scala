@@ -276,20 +276,23 @@ object Embeddings {
     if (!java.nio.file.Files.isDirectory(base)) return
     val cutoff = System.currentTimeMillis() - minAgeMs
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(base).iterator().asScala
-      .filter { p =>
+    val s = java.nio.file.Files.list(base) // close: directory-handle FD leak
+    val stale =
+      try s.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
         n.startsWith(prefix) && n != keep &&
           java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
-      }
-      .toSeq.foreach(deleteTree)
+      }.toSeq
+      finally s.close()
+    stale.foreach(deleteTree)
   }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq
-        .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      val s = java.nio.file.Files.walk(p) // close: directory-handle FD leak
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
 
   /** IVF probe against a materialized index: the cell filter is satisfied by

@@ -25,6 +25,15 @@ object Queries {
 
   private def docIdFromUrl = regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long")
 
+  // m01/m02's shared deterministic fake payload: a (16 + id%16) x 8 blank
+  // raster — ONE definition so the queries and the 13 + w*h oracle arithmetic
+  // can't silently diverge
+  private val syntheticRasterUdf = udf((id: Long) => {
+    val w = 16 + (id % 16).toInt
+    val h = 8
+    graft.kernel.Raster.writeGray(w, h, new Array[Byte](w * h))
+  })
+
   private def flat(c: org.apache.spark.sql.Column) =
     trim(regexp_replace(c, "\\s+", " "))
 
@@ -457,12 +466,7 @@ object Queries {
       // multimodal plumbing: opaque binary column + typed metadata extraction;
       // the decode step is a deterministic fake (builder brief: no image libs
       // in-sandbox), the schema/partitioning/batching are real
-      val mk = udf((id: Long) => {
-        val w = 16 + (id % 16).toInt
-        val h = 8
-        graft.kernel.Raster.writeGray(w, h, new Array[Byte](w * h))
-      })
-      docs(s, dir).select(col("doc_id"), mk(col("doc_id")).as("payload"))
+      docs(s, dir).select(col("doc_id"), syntheticRasterUdf(col("doc_id")).as("payload"))
         .select(col("doc_id"),
           substring(col("payload"), 1, 4).cast("string").as("fmt"),
           length(col("payload")).cast("long").as("n_bytes"))
@@ -471,17 +475,13 @@ object Queries {
     "m02_thumb_meta" -> ((s, dir) => {
       // multimodal decode + resize: raster -> box-mean downsample x2 ->
       // re-encode; metadata of the thumbnail is oracle-checkable arithmetic
-      val mk = udf((id: Long) => {
-        val w = 16 + (id % 16).toInt
-        val h = 8
-        graft.kernel.Raster.writeGray(w, h, new Array[Byte](w * h))
-      })
       val thumb = udf((bytes: Array[Byte]) => {
         val g = graft.kernel.Raster.decodeGray(bytes)
         val d = graft.kernel.Raster.downsample(g, 2)
         graft.kernel.Raster.writeGray(d.w, d.h, d.px)
       })
-      docs(s, dir).select(col("doc_id"), thumb(mk(col("doc_id"))).as("payload"))
+      docs(s, dir).select(col("doc_id"),
+        thumb(syntheticRasterUdf(col("doc_id"))).as("payload"))
         .select(col("doc_id"), length(col("payload")).cast("long").as("n_bytes"))
         .orderBy("doc_id")
     }),

@@ -30,6 +30,17 @@ final class SnapshotLog(tableDir: String) {
   private val metaDir: Path = root.resolve("meta")
   private val currentPtr: Path = metaDir.resolve("current")
 
+  // Files.list/walk streams hold an OS directory handle until closed — a
+  // long-lived driver committing/expiring repeatedly must not leak FDs
+  private def listDir[A](d: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(d)
+    try f(s.iterator().asScala) finally s.close()
+  }
+  private def walkDir[A](d: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(d)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   def dataDir(snapshotId: Long): Path = root.resolve(s"data/snap-$snapshotId")
 
   /** Last committed snapshot id, if any. */
@@ -59,11 +70,10 @@ final class SnapshotLog(tableDir: String) {
   /** All committed snapshot ids, ascending (the table's history). */
   def snapshots(): Seq[Long] =
     if (!Files.isDirectory(metaDir)) Seq.empty
-    else Files.list(metaDir).iterator().asScala
-      .map(_.getFileName.toString)
+    else listDir(metaDir)(_.map(_.getFileName.toString)
       .collect { case s if s.startsWith("snap-") && s.endsWith(".txt") =>
         s.stripPrefix("snap-").stripSuffix(".txt").toLong }
-      .toSeq.sorted
+      .toSeq.sorted)
 
   private def manifestPath(id: Long): Path = metaDir.resolve(s"snap-$id.txt")
 
@@ -78,9 +88,8 @@ final class SnapshotLog(tableDir: String) {
   def stagedFiles(snapshotId: Long): Seq[Path] = {
     val d = dataDir(snapshotId)
     if (!Files.exists(d)) Seq.empty
-    else Files.walk(d).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq.sortBy(_.toString)
+    else walkDir(d)(_.filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString))
   }
 
   /** Commit: new snapshot = parent's live files + newly staged files.
@@ -154,7 +163,7 @@ final class SnapshotLog(tableDir: String) {
     // residue (_SUCCESS, checksum sidecars) and the empty directory itself;
     // dirs of staged or retained snapshots are never touched
     drop.map(dataDir).filter(Files.isDirectory(_)).foreach { d =>
-      val contents = Files.walk(d).iterator().asScala.toSeq
+      val contents = walkDir(d)(_.toSeq)
       if (!contents.exists(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")))
         contents.reverse.foreach(Files.deleteIfExists(_))
     }
@@ -198,7 +207,7 @@ final class SnapshotLog(tableDir: String) {
   def abort(snapshotId: Long): Unit = {
     val d = dataDir(snapshotId)
     if (Files.exists(d))
-      Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      walkDir(d)(_.toSeq).reverse.foreach(Files.deleteIfExists(_))
   }
 
   /** Next snapshot id (monotonic; ids are logical, no wall-clock — SURVEY §5). */

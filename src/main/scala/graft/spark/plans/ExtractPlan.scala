@@ -64,13 +64,21 @@ object ExtractPlan {
       copy(child = newChild)
 
     /** Per-partition map: the child's distribution survives. Propagate it
-      * (remapping surviving columns' exprIds, e.g. url) so a downstream
-      * operator keyed on a preserved column doesn't insert a pointless
-      * Exchange above us — the default would report UnknownPartitioning.
+      * (remapping surviving columns' exprIds) so a downstream operator keyed
+      * on a preserved column doesn't insert a pointless Exchange above us —
+      * the default would report UnknownPartitioning.
+      *
+      * ONLY value-preserving columns may be remapped: `url` passes through
+      * verbatim, but output `text` is the kernel's extraction RESULT — a
+      * child hash-partitioned on input text says nothing about the
+      * distribution of output text values, and claiming it would let
+      * Catalyst elide a required Exchange (wrong groupBy/join results).
       */
     override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning = {
       import org.apache.spark.sql.catalyst.plans.physical._
-      val byName = output.map(a => a.name -> a).toMap
+      val valuePreserved = Set("url")
+      val byName = output.filter(a => valuePreserved.contains(a.name))
+        .map(a => a.name -> a).toMap
       val remap = child.output.flatMap(a => byName.get(a.name).map(a.exprId -> _)).toMap
       child.outputPartitioning match {
         case h: HashPartitioning
@@ -141,13 +149,16 @@ object ExtractPlan {
       e.injectPlannerStrategy(_ => ExtractStrategy)
   }
 
-  /** Register the strategy on an existing session (idempotent). */
-  def install(spark: SparkSession): Unit = {
-    val ss = spark.sessionState
-    if (!ss.planner.extraPlanningStrategies.contains(ExtractStrategy))
+  /** Register the strategy on an existing session (idempotent). The guard
+    * must probe `experimental.extraStrategies` — the list we append to;
+    * `planner.extraPlanningStrategies` only carries extension-injected
+    * strategies, so probing it let every call stack another duplicate.
+    */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(ExtractStrategy) &&
+        !spark.sessionState.planner.extraPlanningStrategies.contains(ExtractStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ ExtractStrategy
-  }
 
   /** DataFrame entry point: pages relation -> extracted relation via the
     * custom operator (requires [[install]] first).

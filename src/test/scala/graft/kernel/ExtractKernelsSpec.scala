@@ -161,6 +161,21 @@ class OcrSpec extends AnyFunSuite {
     }
   }
 
+  test("decode is exact when the leading glyph lacks column-0/row-0 ink (grid snap)") {
+    // '.' inks only col >= 1 and row >= 5: anchoring at first-ink instead of
+    // the fixed grid shifted every later cell and decoded the line to garbage
+    val lines = Seq(
+      ". THE QUICK BROWN FOX",  // leading '.' -> column shift without snap
+      "...",                    // whole line low -> row shift without snap
+      ", : ; NORMAL TAIL 123",
+      "-- DASHES ONLY --")
+    for (noise <- Seq(false, true); seed <- Seq(1L, 11L)) {
+      val img = GlyphFont.render(lines, seed = seed, noise = noise)
+      assert(Ocr.decode(img) == lines.mkString("", "\n", "\n"),
+        s"noise=$noise seed=$seed")
+    }
+  }
+
   test("decode is exact over many seeds (noise robustness)") {
     for (seed <- 0L until 50L) {
       val line = s"SEED $seed CHECK 0123456789 ABCXYZ"
