@@ -405,6 +405,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("custom operator: install is idempotent; partitioning claim is value-preserving only") {
+    val sp = spark; import sp.implicits._
+    plans.ExtractPlan.install(spark)
+    plans.ExtractPlan.install(spark)
+    plans.ExtractPlan.install(spark)
+    assert(spark.experimental.extraStrategies
+      .count(_ == plans.ExtractPlan.ExtractStrategy) == 1,
+      "repeated install must not stack duplicate planner strategies")
+    val pages = spark.createDataset(fixture.take(80)).toDF()
+    // child hash-partitioned on INPUT text (all html rows share text=null ->
+    // one partition); output text is the kernel RESULT with distinct values.
+    // Claiming the child's partitioning for output text would let Catalyst
+    // elide the Exchange groupBy needs and emit duplicate groups.
+    val grouped = plans.ExtractPlan.extract(pages.repartition(4, col("text")), 16)
+      .groupBy("text").count()
+    val plan = grouped.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"),
+      s"groupBy over kernel output must re-shuffle:\n${plan.take(1500)}")
+    val counts = grouped.collect().map(r => Option(r.getString(0)).getOrElse("") -> r.getLong(1))
+    assert(counts.map(_._1).distinct.length == counts.length, "duplicate groups")
+    // url IS value-preserving: repartitioning by url upstream must survive
+    // the operator (no Exchange between GraftExtract and a url-keyed groupBy)
+    val byUrl = plans.ExtractPlan.extract(pages.repartition(4, col("url")), 16)
+      .groupBy("url").count()
+    val urlPlan = byUrl.queryExecution.executedPlan.toString
+    val afterOp = urlPlan.substring(0, urlPlan.indexOf("GraftExtract"))
+    assert(!afterOp.contains("Exchange"),
+      s"url partitioning must propagate through the operator:\n${urlPlan.take(1500)}")
+  }
+
   test("streaming extract (AvailableNow): same kernel output, incremental restart") {
     val sp = spark; import sp.implicits._
     val inDir = tmpDir("stream_in")
