@@ -38,7 +38,8 @@ object SubmitMain {
         |  search  <tableDir> <matchedDir> Field=value...
         |  bundle  <matchedDir> <bundleDir>
         |  expire  <tableDir> <keepLast>
-        |  compact <tableDir> [targetFiles=128]""".stripMargin)
+        |  compact <tableDir> [targetFiles=128]
+        |  orphans <tableDir> [minAgeHours=1]""".stripMargin)
     sys.exit(2)
   }
 
@@ -62,7 +63,8 @@ object SubmitMain {
 
   def main(args: Array[String]): Unit = {
     // compact's targetFiles is optional; every other subcommand needs 3 args
-    val minArgs = if (args.headOption.contains("compact")) 2 else 3
+    val minArgs =
+      if (args.headOption.exists(Set("compact", "orphans"))) 2 else 3
     if (args.length < minArgs) usage()
     val spark = SparkSession.builder()
       .appName(s"graft-${args(0)}")
@@ -124,6 +126,12 @@ object SubmitMain {
             case Some(id) => println(s"compacted $tableDir into <= $target files (snapshot $id)")
             case None => println(s"$tableDir already at or under $target files; no-op")
           }
+        case "orphans" =>
+          // age-gated remove_orphan_files analog: reclaim crashed-stage residue
+          val tableDir = args(1)
+          val hours = if (args.length > 2) args(2).toLong else 1L
+          val n = new SnapshotLog(tableDir).removeOrphanFiles(hours * 3600000L)
+          println(s"removed $n orphan data files from $tableDir")
         case _ => usage()
       }
     } finally spark.stop()

@@ -203,6 +203,39 @@ final class SnapshotLog(tableDir: String) {
     } catch { case e: Throwable => abort(id); throw e }
   }
 
+  /** Orphan-file cleanup — the remove_orphan_files analog completing the
+    * maintenance trio with [[expireSnapshots]] (reachable-from-expired only)
+    * and [[compact]]: delete parquet files under data/ referenced by NO
+    * manifest at all AND untouched for `minAgeMs` (crashed stages whose
+    * snapshot id is unknown, residue of failed compactions). The age gate is
+    * what makes this safe against a CONCURRENT writer: its in-flight staged
+    * files are unreferenced too, but recent. Empty orphan snapshot dirs are
+    * removed with their residue. Returns deleted file count.
+    */
+  def removeOrphanFiles(minAgeMs: Long = 3600000L): Int = {
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def canon(p: Path): Path = p.toAbsolutePath.normalize
+    val referenced = snapshots().flatMap(filesAt).map(f => canon(Paths.get(f))).toSet
+    val dataRoot = root.resolve("data")
+    if (!Files.isDirectory(dataRoot)) return 0
+    var deleted = 0
+    listDir(dataRoot)(_.toSeq).filter(Files.isDirectory(_)).foreach { d =>
+      val contents = walkDir(d)(_.toSeq)
+      contents.filter { p =>
+        Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
+          !referenced.contains(canon(p)) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
+      }.foreach { p => if (Files.deleteIfExists(p)) deleted += 1 }
+      // drop the dir + residue only when nothing referenced or fresh remains
+      val left = walkDir(d)(_.toSeq)
+      val keepDir = left.exists(p => Files.isRegularFile(p) &&
+        (referenced.contains(canon(p)) ||
+          Files.getLastModifiedTime(p).toMillis > cutoff))
+      if (!keepDir) left.reverse.foreach(Files.deleteIfExists(_))
+    }
+    deleted
+  }
+
   /** Abort a staged (uncommitted) snapshot: delete its data directory. */
   def abort(snapshotId: Long): Unit = {
     val d = dataDir(snapshotId)

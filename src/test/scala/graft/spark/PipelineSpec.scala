@@ -626,6 +626,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.scan(spark, rows.schema).count() == 4096 + 16)
   }
 
+  test("removeOrphanFiles: reclaims aged unreferenced files, spares fresh and referenced ones") {
+    val dir = tmpDir("orphans")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(100).select(col("id"), (col("id") % 3).as("v"))
+    rows.repartition(4).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    // crashed stage with unknown id: unreferenced, aged past the window
+    rows.limit(10).repartition(2).write.mode("overwrite").parquet(log.stageDataDir(9L))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200000L)
+    java.nio.file.Files.walk(log.dataDir(9L)).forEach(p =>
+      java.nio.file.Files.setLastModifiedTime(p, old))
+    // a concurrent writer's FRESH staged snapshot: unreferenced but recent
+    rows.limit(10).repartition(2).write.mode("overwrite").parquet(log.stageDataDir(1L))
+    val freshBefore = log.stagedFiles(1L)
+    val deleted = log.removeOrphanFiles(minAgeMs = 3600000L)
+    assert(deleted >= 2, s"aged orphans must be reclaimed, deleted=$deleted")
+    assert(!java.nio.file.Files.exists(log.dataDir(9L)), "orphan dir must be removed")
+    assert(log.stagedFiles(1L) == freshBefore, "fresh staged files must survive")
+    assert(log.scan(spark, rows.schema).count() == 100, "committed data untouched")
+    log.abort(1L)
+  }
+
   test("compact: bin-packs small files into a replace snapshot with identical content") {
     val dir = tmpDir("compact")
     val log = new SnapshotLog(dir)
