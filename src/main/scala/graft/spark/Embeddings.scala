@@ -52,6 +52,28 @@ object Embeddings {
     bruteForceTopK(candidates.drop("bucket"), q, k)
   }
 
+  /** Axis-aligned sign-LSH bucket: bit i set iff embedding[i] >= 0 — the
+    * deterministic degenerate of random-hyperplane sign projections (the
+    * hyperplanes are the coordinate planes). Same bucket-join machinery as
+    * [[lshTopK]], but the hash is PURE COMPARISON ARITHMETIC, so a DuckDB
+    * oracle can replay it exactly (query e06) — the random-hyperplane
+    * operators stay rows-only because their hash family isn't SQL-portable.
+    */
+  def signLshBucketCol(vec: Column, nBits: Int): Column =
+    (0 until nBits).map(i =>
+      when(element_at(vec, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** ANN top-k within the query's sign-LSH bucket (oracle-checkable twin of
+    * [[lshTopK]]; same shape: bucket filter -> brute force inside it).
+    */
+  def signLshTopK(embeddings: DataFrame, q: Array[Float], k: Int, nBits: Int): DataFrame = {
+    val qBucket = (0 until nBits).map(i => if (q(i) >= 0f) 1 << i else 0).sum
+    val candidates = embeddings
+      .filter(signLshBucketCol(col("embedding"), nBits) === qBucket)
+    bruteForceTopK(candidates, q, k)
+  }
+
   /** Cosine between two array<float> columns, pure higher-order functions. */
   def cosinePairCol(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)

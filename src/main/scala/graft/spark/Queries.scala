@@ -271,6 +271,30 @@ object Queries {
         |FROM tri ORDER BY a, b""".stripMargin,
     // e05: integer-valued vectors => exact dot/norms, correctly-rounded
     // sqrt/divide — bit-identical cosine in both engines (see registry note)
+    // e06: the sign-LSH bucket is comparison arithmetic (bit i = e[i] >= 0),
+    // so bucket filter + in-bucket top-k replay exactly; q = doc 1's vector
+    // [-2..5], |q|^2 = 60, q's 4-bit bucket = 12 (dims 3,4 non-negative)
+    "e06_embed_lsh_twin" ->
+      """WITH v AS (
+        |  SELECT doc_id AS vec_id,
+        |    list_transform(range(3, 11), i -> CAST((doc_id * i) % 11 - 5 AS DOUBLE)) AS e
+        |  FROM documents
+        |), b AS (
+        |  SELECT vec_id, e,
+        |    (CASE WHEN e[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN e[2] >= 0 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN e[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN e[4] >= 0 THEN 8 ELSE 0 END)
+        |      AS bucket
+        |  FROM v
+        |), c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_sum(list_transform(e, x -> x * x)) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(range(1, 9), j -> e[j] * (j - 3)))
+        |              / (sqrt(list_sum(list_transform(e, x -> x * x))) * sqrt(60.0))
+        |    END AS cosine
+        |  FROM b WHERE bucket = 12
+        |)
+        |SELECT vec_id, CAST(floor(cosine * 1000000) AS BIGINT) AS cosine_ppm
+        |FROM c ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     "e05_embed_cosine" ->
       """WITH v AS (
         |  SELECT doc_id AS vec_id,
@@ -553,8 +577,9 @@ object Queries {
     // last-ulp-sensitive float reductions over arbitrary data — neither is
     // DuckDB-expressible. Their correctness lives in the ScalaTest suites
     // (injected-dup recall, brute-force-vs-ANN agreement, IVF recall) and in
-    // the SQL-checkable twins t09 (exact trigram Jaccard) and e05 (exact-
-    // arithmetic cosine top-k).
+    // the SQL-checkable twins t09 (exact trigram Jaccard), e05 (exact-
+    // arithmetic cosine top-k), and e06 (sign-LSH bucket + in-bucket top-k —
+    // the full LSH machinery under a comparison-arithmetic hash).
     "t06_minhash_sig" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         element_at(Functions.minHashUdf(col("text")), 1).as("sig0"),
@@ -633,6 +658,21 @@ object Queries {
         .select(col("a"), col("b"),
           (col("jaccard_exact") * 1000).cast("long").as("jac_exact_permille"))
         .orderBy("a", "b")
+    }),
+    "e06_embed_lsh_twin" -> ((s, dir) => {
+      // ANN through the LSH BUCKET machinery with a SQL-portable hash: the
+      // axis-aligned sign-LSH (bit i = embedding[i] >= 0) is pure comparison
+      // arithmetic, so the bucket filter AND the top-k inside it are DuckDB-
+      // replayable end-to-end — e02 keeps the random-hyperplane operator on
+      // the real embeddings (rows-only: its hash family isn't SQL-portable).
+      // Centered integer vectors (-5..5) so the sign bits actually vary.
+      val dim = 8
+      val vecCols = array((0 until dim).map(i =>
+        (((col("doc_id") * (i + 3)) % 11) - 5).cast("float")): _*)
+      val emb = docs(s, dir).select(col("doc_id").as("vec_id"), vecCols.as("embedding"))
+      val q = (0 until dim).map(i => ((i + 3) % 11 - 5).toFloat).toArray // doc 1's vector
+      Embeddings.signLshTopK(emb, q, 10, nBits = 4)
+        .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),
     "e05_embed_cosine" -> ((s, dir) => {
       // ANN brute-force top-k over INTEGER-VALUED synthetic vectors: every
