@@ -170,6 +170,24 @@ object Queries {
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    // t11: md5 hex is bit-identical across engines; shingles are word
+    // trigrams joined by one space; range(1, n-1) = indices 1..n-2 (1-based)
+    "t11_minhash_twin" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 1), i ->
+        |      toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh
+        |  FROM t WHERE len(toks) >= 3
+        |)
+        |SELECT doc_id,
+        |  list_aggregate(list_transform(sh, x -> md5(x || '#0')), 'min') AS sig0,
+        |  list_aggregate(list_transform(sh, x -> md5(x || '#1')), 'min') AS sig1,
+        |  list_aggregate(list_transform(sh, x -> md5(x || '#2')), 'min') AS sig2,
+        |  list_aggregate(list_transform(sh, x -> md5(x || '#3')), 'min') AS sig3
+        |FROM s ORDER BY doc_id""".stripMargin,
     "t03_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
@@ -580,6 +598,25 @@ object Queries {
     // the SQL-checkable twins t09 (exact trigram Jaccard), e05 (exact-
     // arithmetic cosine top-k), and e06 (sign-LSH bucket + in-bucket top-k —
     // the full LSH machinery under a comparison-arithmetic hash).
+    "t11_minhash_twin" -> ((s, dir) => {
+      // the MinHash SIGNATURE machinery (tokenize -> word-trigram shingles ->
+      // per-hash min) under a SQL-PORTABLE hash family: h_j(sh) =
+      // md5(sh || '#' || j), bit-identical hex in Spark and DuckDB, so the
+      // whole signature oracle-checks. Pure built-ins (split/transform/
+      // sequence/md5/array_min), fully codegen — t06 keeps the production
+      // Hash64 signature (rows-only; that family isn't SQL-portable).
+      val toks = split(trim(col("text")), "\\s+")
+      val shingles = transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))
+      val sigs = (0 until 4).map(j =>
+        array_min(transform(shingles, sh =>
+          md5(concat(sh, lit("#" + j))))).as(s"sig$j"))
+      docs(s, dir)
+        .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+        .select(col("doc_id") +: sigs: _*)
+        .orderBy("doc_id")
+    }),
     "t06_minhash_sig" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
         element_at(Functions.minHashUdf(col("text")), 1).as("sig0"),
