@@ -188,6 +188,44 @@ object Queries {
         |  list_aggregate(list_transform(sh, x -> md5(x || '#2')), 'min') AS sig2,
         |  list_aggregate(list_transform(sh, x -> md5(x || '#3')), 'min') AS sig3
         |FROM s ORDER BY doc_id""".stripMargin,
+    // t12: full pipeline replay — md5 bands for candidates (t11's family),
+    // trigram-set arithmetic for the verify (t09's); injection mirrors
+    // withInjectedNearDups (id + 10^6, last word dropped)
+    "t12_neardup_twin" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS text FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    regexp_replace(text, '\s+\S+$', '') AS text FROM base
+        |), tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus
+        |), sh AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh
+        |  FROM tk
+        |), bands AS (
+        |  SELECT doc_id, j AS band,
+        |    list_aggregate(list_transform(sh, x -> md5(x || '#' || j)), 'min') AS key
+        |  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) jj
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        |), tri AS (
+        |  SELECT doc_id, list_distinct(sh) AS s FROM sh
+        |), v AS (
+        |  SELECT a, b,
+        |    CAST(len(list_intersect(ta.s, tb.s)) AS DOUBLE)
+        |      / (len(ta.s) + len(tb.s) - len(list_intersect(ta.s, tb.s))) AS jac
+        |  FROM cand
+        |  JOIN tri ta ON ta.doc_id = cand.a
+        |  JOIN tri tb ON tb.doc_id = cand.b
+        |)
+        |SELECT a, b, CAST(floor(jac * 1000) AS BIGINT) AS jac_permille
+        |FROM v WHERE jac >= 0.5 ORDER BY a, b""".stripMargin,
     "t03_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
@@ -616,6 +654,37 @@ object Queries {
         .filter(size(split(trim(col("text")), "\\s+")) >= 3)
         .select(col("doc_id") +: sigs: _*)
         .orderBy("doc_id")
+    }),
+    "t12_neardup_twin" -> ((s, dir) => {
+      // the LSH near-dup PIPELINE end-to-end under the md5 family: tokenize
+      // -> word-trigram shingles -> 4 min-md5 signatures -> 4 single-sig
+      // bands -> band self-join -> distinct candidates -> exact trigram-
+      // Jaccard verify >= 0.5. Every step is SQL-portable (t11's hash family
+      // + t09's verify arithmetic), so the candidate-GENERATION machinery
+      // itself oracle-checks — t07 keeps the production Hash64/16-band
+      // operator (rows-only; that family isn't SQL-portable).
+      val base = docs(s, dir)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+        .filter(size(split(trim(col("text")), "\\s+")) >= 5)
+      val corpus = Dedup.withInjectedNearDups(s, base, "doc_id", "text")
+      val toks = split(trim(col("text")), "\\s+")
+      val shingles = transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))
+      val banded = corpus.select(col("doc_id"), shingles.as("sh"))
+        .select(col("doc_id"), posexplode(array((0 until 4).map(j =>
+          array_min(transform(col("sh"), x => md5(concat(x, lit("#" + j)))))): _*))
+          .as(Seq("band", "key")))
+      val cand = banded.select(col("band"), col("key"), col("doc_id").as("a"))
+        .join(banded.select(col("band"), col("key"), col("doc_id").as("b")),
+          Seq("band", "key"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      Dedup.verifyJaccard(cand, corpus, "doc_id", "text")
+        .filter(col("jaccard_exact") >= 0.5)
+        .select(col("a"), col("b"),
+          (col("jaccard_exact") * 1000).cast("long").as("jac_permille"))
+        .orderBy("a", "b")
     }),
     "t06_minhash_sig" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
