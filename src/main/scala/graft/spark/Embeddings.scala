@@ -74,6 +74,35 @@ object Embeddings {
     bruteForceTopK(candidates, q, k)
   }
 
+  /** Sign-LSH multi-probe keys: the bucket plus its `nBits` Hamming-1
+    * neighbors (bit flips) — the same probe construction as the production
+    * [[cosineNearDupPairs]], in pure bit arithmetic.
+    */
+  def signLshProbesCol(bucket: Column, nBits: Int): Column =
+    array((bucket +: (0 until nBits).map(i => bucket.bitwiseXOR(lit(1 << i)))): _*)
+
+  /** Near-dup pairs through the sign-LSH MULTI-PROBE join — the oracle-
+    * checkable twin of [[cosineNearDupPairs]] (query e07): probe-side rows
+    * explode to bucket + Hamming-1 flips, join the build side's own bucket,
+    * dedup pairs, verify with exact cosine. Same skinny-join shape; the
+    * deterministic hash makes every step SQL-replayable.
+    */
+  def signLshNearDupPairs(embeddings: DataFrame, minCosine: Double, nBits: Int): DataFrame = {
+    val sigs = embeddings.select(col("vec_id").cast("long").as("id"),
+      col("embedding"), signLshBucketCol(col("embedding"), nBits).as("bucket"))
+    val l = sigs.select(explode(signLshProbesCol(col("bucket"), nBits)).as("bucket"),
+      col("id").as("a"))
+    val r = sigs.select(col("bucket"), col("id").as("b"))
+    val cand = l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(sigs.select(col("id").as("a"), col("embedding").as("va")), Seq("a"))
+      .join(sigs.select(col("id").as("b"), col("embedding").as("vb")), Seq("b"))
+      .select(col("a"), col("b"), cosinePairCol(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCosine)
+  }
+
   /** Cosine between two array<float> columns, pure higher-order functions. */
   def cosinePairCol(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
