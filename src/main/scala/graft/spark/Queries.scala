@@ -226,6 +226,44 @@ object Queries {
         |)
         |SELECT a, b, CAST(floor(jac * 1000) AS BIGINT) AS jac_permille
         |FROM v WHERE jac >= 0.5 ORDER BY a, b""".stripMargin,
+    // t13: per-bit vote terms, block keys, and popcount are generated below
+    // (16 bits / 4 blocks) so both engines evaluate the identical arithmetic
+    "t13_simhash_twin" -> {
+      val hex = "strpos('0123456789abcdef', md5(t)[%d]) - 1"
+      val hv = s"(${hex.format(1)}) * 4096 + (${hex.format(2)}) * 256 + " +
+        s"(${hex.format(3)}) * 16 + (${hex.format(4)})"
+      val sigTerms = (0 until 16).map { b =>
+        s"(CASE WHEN list_sum(list_transform(hvs, h -> " +
+          s"CASE WHEN (h // ${1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) >= 0 " +
+          s"THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      val blocks = (0 until 4).map(k =>
+        s"SELECT id, sig, $k AS blk, (sig // ${1 << (k * 4)}) % 16 AS key FROM sg")
+        .mkString("\n  UNION ALL ")
+      val popcount = (0 until 16).map(b => s"(x // ${1 << b}) % 2").mkString(" + ")
+      raw"""WITH base AS (
+        |  SELECT doc_id, lower(text) AS text FROM documents
+        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        |), corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    regexp_replace(text, '\s+\S+$$', '') AS text FROM base
+        |), tk AS (
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM corpus
+        |), hvt AS (
+        |  SELECT id, list_transform(toks, t -> $hv) AS hvs FROM tk
+        |), sg AS (
+        |  SELECT id, $sigTerms AS sig FROM hvt
+        |), bd AS (
+        |  $blocks
+        |), pr AS (
+        |  SELECT DISTINCT l.id AS a, r.id AS b, xor(l.sig, r.sig) AS x
+        |  FROM bd l JOIN bd r ON l.blk = r.blk AND l.key = r.key AND l.id < r.id
+        |)
+        |SELECT a, b, CAST($popcount AS BIGINT) AS hamming
+        |FROM pr WHERE $popcount <= 3 ORDER BY a, b""".stripMargin
+    },
     "t03_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
@@ -330,6 +368,30 @@ object Queries {
     // e06: the sign-LSH bucket is comparison arithmetic (bit i = e[i] >= 0),
     // so bucket filter + in-bucket top-k replay exactly; q = doc 1's vector
     // [-2..5], |q|^2 = 60, q's 4-bit bucket = 12 (dims 3,4 non-negative)
+    // e08: argmax over axis centroids = integer ordering of e[k], ties to the
+    // lowest cell (the kernel's strict-greater loop = the >= CASE chain);
+    // q = doc 1's vector [-3,-2,-1,0], |q|^2 = 14, probe cells {3, 2}
+    "e08_ivf_twin" ->
+      """WITH v AS (
+        |  SELECT doc_id AS vec_id,
+        |    list_transform(range(3, 7), i -> CAST((doc_id * i) % 13 - 6 AS DOUBLE)) AS e
+        |  FROM documents
+        |), a AS (
+        |  SELECT vec_id, e,
+        |    CASE WHEN e[1] >= e[2] AND e[1] >= e[3] AND e[1] >= e[4] THEN 0
+        |         WHEN e[2] >= e[3] AND e[2] >= e[4] THEN 1
+        |         WHEN e[3] >= e[4] THEN 2 ELSE 3 END AS cell
+        |  FROM v
+        |), c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN list_sum(list_transform(e, x -> x * x)) = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(range(1, 5), j -> e[j] * (j - 4)))
+        |              / (sqrt(list_sum(list_transform(e, x -> x * x))) * sqrt(14.0))
+        |    END AS cosine
+        |  FROM a WHERE cell IN (3, 2)
+        |)
+        |SELECT vec_id, CAST(floor(cosine * 1000000) AS BIGINT) AS cosine_ppm
+        |FROM c ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
     // e07: multi-probe = [bucket, xor(bucket, 1|2|4|8)]; cosine arithmetic
     // ordered exactly as cosinePairCol (sqrt(na) * sqrt(nb), then divide)
     "e07_neardup_twin" ->
@@ -666,10 +728,16 @@ object Queries {
     // engine-defined 64-bit hash values (MinHash/SimHash/LSH buckets) or
     // last-ulp-sensitive float reductions over arbitrary data — neither is
     // DuckDB-expressible. Their correctness lives in the ScalaTest suites
-    // (injected-dup recall, brute-force-vs-ANN agreement, IVF recall) and in
-    // the SQL-checkable twins t09 (exact trigram Jaccard), e05 (exact-
-    // arithmetic cosine top-k), and e06 (sign-LSH bucket + in-bucket top-k —
-    // the full LSH machinery under a comparison-arithmetic hash).
+    // (injected-dup recall, brute-force-vs-ANN agreement, IVF recall) AND in
+    // a SQL-checkable machinery twin per operator, which swaps only the hash
+    // family / data for a SQL-portable one and hash-matches end-to-end:
+    //   e01 -> e05 (exact-arithmetic cosine top-k)
+    //   e02 -> e06 (sign-LSH bucket + in-bucket top-k)
+    //   e03 -> e07 (multi-probe XOR bucket join + cosine verify)
+    //   e04 -> e08 (IVF argmax assign -> probe cells -> top-k, via ivfTopK)
+    //   t06 -> t11 (shingle -> per-hash-min signature, md5 family)
+    //   t07 -> t12 (banded self-join candidates -> exact Jaccard verify)
+    //   t08 -> t13 (bit-vote signature -> block multi-probe -> Hamming)
     "t11_minhash_twin" -> ((s, dir) => {
       // the MinHash SIGNATURE machinery (tokenize -> word-trigram shingles ->
       // per-hash min) under a SQL-PORTABLE hash family: h_j(sh) =
@@ -718,6 +786,40 @@ object Queries {
         .filter(col("jaccard_exact") >= 0.5)
         .select(col("a"), col("b"),
           (col("jaccard_exact") * 1000).cast("long").as("jac_permille"))
+        .orderBy("a", "b")
+    }),
+    "t13_simhash_twin" -> ((s, dir) => {
+      // the SimHash machinery (per-token hash -> per-bit vote -> sign
+      // signature -> block multi-probe -> Hamming verify) under a
+      // SQL-portable 16-bit hash: hv(token) = first 4 hex chars of md5.
+      // Four 4-bit blocks probe exactly like production simHashPairs
+      // (pigeonhole: Hamming <= 3 pairs agree on >= 1 block). All bit
+      // arithmetic — shifts, votes, popcount — replays in DuckDB (t08 keeps
+      // the production 64-bit Hash64 signature, rows-only).
+      val base = docs(s, dir).select(col("doc_id"), lower(col("text")).as("text"))
+        .filter(size(split(trim(col("text")), "\\s+")) >= 5)
+      val corpus = Dedup.withInjectedNearDups(s, base, "doc_id", "text")
+      val toks = split(trim(col("text")), "\\s+")
+      val hvs = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
+      val sig = (0 until 16).map(b =>
+        when(aggregate(hvs, lit(0), (acc, hv) =>
+          acc + when(hv.bitwiseAND(lit(1 << b)) > 0, lit(1)).otherwise(lit(-1))) >= 0,
+          lit(1 << b)).otherwise(lit(0)))
+        .reduce(_ + _)
+      val sigs = corpus.select(col("doc_id").as("id"), sig.as("sig"))
+      val banded = sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(k =>
+          shiftright(col("sig"), k * 4).bitwiseAND(lit(15))): _*))
+          .as(Seq("blk", "key")))
+      val l = banded.select(col("blk"), col("key"), col("id").as("a"), col("sig").as("sa"))
+      val r = banded.select(col("blk"), col("key"), col("id").as("b"), col("sig").as("sb"))
+      val xorSig = col("sa").bitwiseXOR(col("sb"))
+      val hamming = (0 until 16).map(b =>
+        shiftright(xorSig, b).bitwiseAND(lit(1))).reduce(_ + _)
+      l.join(r, Seq("blk", "key")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), hamming.as("hamming"))
+        .groupBy("a", "b").agg(min("hamming").cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
         .orderBy("a", "b")
     }),
     "t06_minhash_sig" -> ((s, dir) => {
@@ -814,6 +916,24 @@ object Queries {
       Embeddings.signLshNearDupPairs(emb, minCosine = 0.999999, nBits = 4)
         .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cosine_ppm"))
         .orderBy("a", "b")
+    }),
+    "e08_ivf_twin" -> ((s, dir) => {
+      // the IVF machinery (centroid argmax assignment -> nProbe cell filter
+      // -> in-cell exact top-k) through the REAL ivfTopK operator, with
+      // LITERAL axis centroids (scale 6 on dims 0-3): cosine(v, c_k) =
+      // 6*v[k] / (|v|*6), so the argmax ordering is the INTEGER ordering of
+      // v[k] — ties break to the lowest cell in both engines bit-exactly —
+      // and the probe-cell choice for the literal q is the constant {3, 2}.
+      // e04 keeps the trained-centroid partition-pruned index (rows-only:
+      // Lloyd means aren't SQL-replayable).
+      val dim = 4
+      val vecCols = array((0 until dim).map(i =>
+        (((col("doc_id") * (i + 3)) % 13) - 6).cast("float")): _*)
+      val emb = docs(s, dir).select(col("doc_id").as("vec_id"), vecCols.as("embedding"))
+      val cents = Array.tabulate(4)(k => Array.tabulate(4)(d => if (d == k) 6f else 0f))
+      val q = (0 until dim).map(i => ((i + 3) % 13 - 6).toFloat).toArray // doc 1: [-3,-2,-1,0]
+      Embeddings.ivfTopK(emb, cents, q, k = 10, nProbe = 2)
+        .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),
     "e06_embed_lsh_twin" -> ((s, dir) => {
       // ANN through the LSH BUCKET machinery with a SQL-portable hash: the
