@@ -38,6 +38,21 @@ object StreamingStats {
         col("window.start").as("w_start"),
         col("event_type"), col("n"), col("cents"))
 
+  /** Streaming exact-dedup — the streaming side of the batch digest dedup
+    * (P1/t02): emit the first arrival per key, drop re-deliveries that land
+    * within the watermark horizon. State is one small row per key and is
+    * PRUNED at the watermark (`dropDuplicatesWithinWatermark`), so it stays
+    * bounded on an unbounded stream — plain `dropDuplicates` would grow
+    * state forever, the 100 TB failure mode.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)

@@ -142,6 +142,27 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("dedupStream: re-deliveries within the watermark are dropped, first arrival wins") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = StreamingStats.dedupStream(ms.toDS().toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream").outputMode("append").start()
+    try {
+      // batch 1: id 1 twice in-batch, id 2 once
+      ms.addData(ev(1, 1, "click", 3600), ev(1, 1, "click", 3601), ev(2, 1, "view", 3602))
+      q.processAllAvailable()
+      // batch 2: id 1 re-delivered (within watermark) + a fresh id 3
+      ms.addData(ev(1, 1, "click", 3603), ev(3, 2, "click", 3604))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream").as[Event].collect()
+      assert(out.map(_.event_id).sorted.toSeq == Seq(1L, 2L, 3L),
+        s"got ${out.map(_.event_id).toSeq}")
+      // first arrival won: id 1 kept its batch-1 timestamp
+      assert(out.find(_.event_id == 1L).get.ts.getTime == 3600000L)
+    } finally q.stop()
+  }
+
   test("sessionizeBatch (window-function twin) agrees with streaming sessionize") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
