@@ -66,6 +66,26 @@ object SubmitMain {
     val minArgs =
       if (args.headOption.exists(Set("compact", "orphans"))) 2 else 3
     if (args.length < minArgs) usage()
+    // pure-filesystem maintenance commands skip SparkSession startup — they
+    // touch no Spark API and should stay cheap for cron-style invocation
+    args(0) match {
+      case "expire" =>
+        // snapshot GC (C7): retain the last <keepLast> snapshots, reclaim
+        // expired manifests + data files no retained manifest references
+        val Array(_, tableDir, keepStr) = args.take(3)
+        val (manifests, files) = new SnapshotLog(tableDir)
+          .expireSnapshots(keepStr.toInt)
+        println(s"expired $manifests snapshots, deleted $files data files")
+        return
+      case "orphans" =>
+        // age-gated remove_orphan_files analog: reclaim crashed-stage residue
+        val tableDir = args(1)
+        val hours = if (args.length > 2) args(2).toLong else 1L
+        val n = new SnapshotLog(tableDir).removeOrphanFiles(hours * 3600000L)
+        println(s"removed $n orphan data files from $tableDir")
+        return
+      case _ => ()
+    }
     val spark = SparkSession.builder()
       .appName(s"graft-${args(0)}")
       .config("spark.sql.adaptive.enabled", "true")
@@ -110,13 +130,6 @@ object SubmitMain {
           val Array(_, matchedDir, bundleDir) = args.take(3)
           bundle(spark, matchedDir, bundleDir)
           println(s"bundled $matchedDir -> $bundleDir (single artifact)")
-        case "expire" =>
-          // snapshot GC (C7): retain the last <keepLast> snapshots, reclaim
-          // expired manifests + data files no retained manifest references
-          val Array(_, tableDir, keepStr) = args.take(3)
-          val (manifests, files) = new SnapshotLog(tableDir)
-            .expireSnapshots(keepStr.toInt)
-          println(s"expired $manifests snapshots, deleted $files data files")
         case "compact" =>
           // small-file compaction (C8): bin-pack the current snapshot into
           // fewer, larger data files as a new replace snapshot
@@ -126,12 +139,6 @@ object SubmitMain {
             case Some(id) => println(s"compacted $tableDir into <= $target files (snapshot $id)")
             case None => println(s"$tableDir already at or under $target files; no-op")
           }
-        case "orphans" =>
-          // age-gated remove_orphan_files analog: reclaim crashed-stage residue
-          val tableDir = args(1)
-          val hours = if (args.length > 2) args(2).toLong else 1L
-          val n = new SnapshotLog(tableDir).removeOrphanFiles(hours * 3600000L)
-          println(s"removed $n orphan data files from $tableDir")
         case _ => usage()
       }
     } finally spark.stop()

@@ -180,8 +180,11 @@ object Dedup {
       idCol: String, textCol: String, offset: Long = 1000000L): DataFrame = {
     val mutated = docs.select(
       (col(idCol) + offset).as(idCol),
-      // drop the last word: strip the final " word" suffix
-      regexp_replace(col(textCol), """\s+\S+$""", "").as(textCol))
+      // drop the last word: strip the final " word" suffix. \z (absolute end)
+      // rather than $: Java's $ also matches BEFORE a final line terminator,
+      // RE2's (the DuckDB oracles' '$') does not — \z makes the two engines
+      // agree even on text ending in a newline
+      regexp_replace(col(textCol), """\s+\S+\z""", "").as(textCol))
     docs.select(col(idCol), col(textCol)).unionByName(mutated)
   }
 }

@@ -88,19 +88,26 @@ object Embeddings {
     * deterministic hash makes every step SQL-replayable.
     */
   def signLshNearDupPairs(embeddings: DataFrame, minCosine: Double, nBits: Int): DataFrame = {
+    // persisted for the same reason as cosineNearDupPairs: four consumers
+    // (probe side, build side, two vector re-attach joins) would otherwise
+    // re-scan and re-hash the source 4x
     val sigs = embeddings.select(col("vec_id").cast("long").as("id"),
       col("embedding"), signLshBucketCol(col("embedding"), nBits).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = sigs.select(explode(signLshProbesCol(col("bucket"), nBits)).as("bucket"),
       col("id").as("a"))
     val r = sigs.select(col("bucket"), col("id").as("b"))
     val cand = l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    cand
+    val pairs = cand
       .join(sigs.select(col("id").as("a"), col("embedding").as("va")), Seq("a"))
       .join(sigs.select(col("id").as("b"), col("embedding").as("vb")), Seq("b"))
       .select(col("a"), col("b"), cosinePairCol(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCosine)
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
   }
 
   /** Cosine between two array<float> columns, pure higher-order functions. */

@@ -25,6 +25,21 @@ object Queries {
 
   private def docIdFromUrl = regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long")
 
+  // shared by the t11/t12/t13 machinery twins: ONE tokenization + word-
+  // trigram shingle + injected-corpus definition, so the three operators and
+  // their oracle CTEs can't silently diverge on a shingling change
+  private def wsToks(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+  private def triShingles(c: org.apache.spark.sql.Column) = {
+    val t = wsToks(c)
+    transform(sequence(lit(1), size(t) - 2), i =>
+      concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+  }
+  private def injectedLowerCorpus(s: SparkSession, dir: String, minToks: Int): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), lower(col("text")).as("text"))
+      .filter(size(wsToks(col("text"))) >= minToks)
+    Dedup.withInjectedNearDups(s, base, "doc_id", "text")
+  }
+
   // m01/m02's shared deterministic fake payload: a (16 + id%16) x 8 blank
   // raster — ONE definition so the queries and the 13 + w*h oracle arithmetic
   // can't silently diverge
@@ -745,15 +760,11 @@ object Queries {
       // whole signature oracle-checks. Pure built-ins (split/transform/
       // sequence/md5/array_min), fully codegen — t06 keeps the production
       // Hash64 signature (rows-only; that family isn't SQL-portable).
-      val toks = split(trim(col("text")), "\\s+")
-      val shingles = transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2)))
       val sigs = (0 until 4).map(j =>
-        array_min(transform(shingles, sh =>
+        array_min(transform(triShingles(col("text")), sh =>
           md5(concat(sh, lit("#" + j))))).as(s"sig$j"))
       docs(s, dir)
-        .filter(size(split(trim(col("text")), "\\s+")) >= 3)
+        .filter(size(wsToks(col("text"))) >= 3)
         .select(col("doc_id") +: sigs: _*)
         .orderBy("doc_id")
     }),
@@ -765,15 +776,8 @@ object Queries {
       // + t09's verify arithmetic), so the candidate-GENERATION machinery
       // itself oracle-checks — t07 keeps the production Hash64/16-band
       // operator (rows-only; that family isn't SQL-portable).
-      val base = docs(s, dir)
-        .select(col("doc_id"), lower(col("text")).as("text"))
-        .filter(size(split(trim(col("text")), "\\s+")) >= 5)
-      val corpus = Dedup.withInjectedNearDups(s, base, "doc_id", "text")
-      val toks = split(trim(col("text")), "\\s+")
-      val shingles = transform(sequence(lit(1), size(toks) - 2), i =>
-        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2)))
-      val banded = corpus.select(col("doc_id"), shingles.as("sh"))
+      val corpus = injectedLowerCorpus(s, dir, minToks = 5)
+      val banded = corpus.select(col("doc_id"), triShingles(col("text")).as("sh"))
         .select(col("doc_id"), posexplode(array((0 until 4).map(j =>
           array_min(transform(col("sh"), x => md5(concat(x, lit("#" + j)))))): _*))
           .as(Seq("band", "key")))
@@ -796,11 +800,9 @@ object Queries {
       // (pigeonhole: Hamming <= 3 pairs agree on >= 1 block). All bit
       // arithmetic — shifts, votes, popcount — replays in DuckDB (t08 keeps
       // the production 64-bit Hash64 signature, rows-only).
-      val base = docs(s, dir).select(col("doc_id"), lower(col("text")).as("text"))
-        .filter(size(split(trim(col("text")), "\\s+")) >= 5)
-      val corpus = Dedup.withInjectedNearDups(s, base, "doc_id", "text")
-      val toks = split(trim(col("text")), "\\s+")
-      val hvs = transform(toks, t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
+      val corpus = injectedLowerCorpus(s, dir, minToks = 5)
+      val hvs = transform(wsToks(col("text")),
+        t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
       val sig = (0 until 16).map(b =>
         when(aggregate(hvs, lit(0), (acc, hv) =>
           acc + when(hv.bitwiseAND(lit(1 << b)) > 0, lit(1)).otherwise(lit(-1))) >= 0,
@@ -914,7 +916,7 @@ object Queries {
         (((col("doc_id") * (i + 3)) % 97) - 48).cast("float")): _*)
       val emb = docs(s, dir).select(col("doc_id").as("vec_id"), vecCols.as("embedding"))
       Embeddings.signLshNearDupPairs(emb, minCosine = 0.999999, nBits = 4)
-        .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cosine_ppm"))
+        .select(col("a"), col("b"), floor(col("cos") * 1000000).cast("long").as("cosine_ppm"))
         .orderBy("a", "b")
     }),
     "e08_ivf_twin" -> ((s, dir) => {
@@ -933,7 +935,7 @@ object Queries {
       val cents = Array.tabulate(4)(k => Array.tabulate(4)(d => if (d == k) 6f else 0f))
       val q = (0 until dim).map(i => ((i + 3) % 13 - 6).toFloat).toArray // doc 1: [-3,-2,-1,0]
       Embeddings.ivfTopK(emb, cents, q, k = 10, nProbe = 2)
-        .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
+        .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),
     "e06_embed_lsh_twin" -> ((s, dir) => {
       // ANN through the LSH BUCKET machinery with a SQL-portable hash: the
@@ -948,7 +950,7 @@ object Queries {
       val emb = docs(s, dir).select(col("doc_id").as("vec_id"), vecCols.as("embedding"))
       val q = (0 until dim).map(i => ((i + 3) % 11 - 5).toFloat).toArray // doc 1's vector
       Embeddings.signLshTopK(emb, q, 10, nBits = 4)
-        .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
+        .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),
     "e05_embed_cosine" -> ((s, dir) => {
       // ANN brute-force top-k over INTEGER-VALUED synthetic vectors: every
@@ -963,7 +965,7 @@ object Queries {
       val emb = docs(s, dir).select(col("doc_id").as("vec_id"), vecCols.as("embedding"))
       val q = (0 until dim).map(i => ((i + 3) % 11).toFloat).toArray // doc 1's vector
       Embeddings.bruteForceTopK(emb, q, 10)
-        .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
+        .select(col("vec_id"), floor(col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),
     "m03_frame_sample" -> ((s, dir) => {
       // video as opaque binary: synthesize GRVD container, then frame-sample

@@ -41,6 +41,12 @@ final class SnapshotLog(tableDir: String) {
     try f(s.iterator().asScala) finally s.close()
   }
 
+  private def canon(p: Path): Path = p.toAbsolutePath.normalize
+
+  /** Delete a directory tree bottom-up (files first, then dirs). */
+  private def deleteTreeContents(contents: Seq[Path]): Unit =
+    contents.reverse.foreach(Files.deleteIfExists(_))
+
   def dataDir(snapshotId: Long): Path = root.resolve(s"data/snap-$snapshotId")
 
   /** Last committed snapshot id, if any. */
@@ -149,7 +155,6 @@ final class SnapshotLog(tableDir: String) {
     if (all.isEmpty) return (0, 0)
     val keep = all.takeRight(keepLast).toSet ++ currentSnapshot().toSet
     val drop = all.filterNot(keep)
-    def canon(p: Path): Path = p.toAbsolutePath.normalize
     val live = keep.flatMap(id => filesAt(id)).map(f => canon(Paths.get(f)))
     // only files REACHABLE FROM EXPIRED MANIFESTS are deletion candidates
     // (Iceberg expire semantics) — a concurrent writer's staged-but-
@@ -165,7 +170,7 @@ final class SnapshotLog(tableDir: String) {
     drop.map(dataDir).filter(Files.isDirectory(_)).foreach { d =>
       val contents = walkDir(d)(_.toSeq)
       if (!contents.exists(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")))
-        contents.reverse.foreach(Files.deleteIfExists(_))
+        deleteTreeContents(contents)
     }
     (drop.size, deleted)
   }
@@ -206,32 +211,34 @@ final class SnapshotLog(tableDir: String) {
   /** Orphan-file cleanup — the remove_orphan_files analog completing the
     * maintenance trio with [[expireSnapshots]] (reachable-from-expired only)
     * and [[compact]]: delete parquet files under data/ referenced by NO
-    * manifest at all AND untouched for `minAgeMs` (crashed stages whose
-    * snapshot id is unknown, residue of failed compactions). The age gate is
-    * what makes this safe against a CONCURRENT writer: its in-flight staged
-    * files are unreferenced too, but recent. Empty orphan snapshot dirs are
-    * removed with their residue. Returns deleted file count.
+    * manifest at all AND belonging to a snapshot directory untouched as a
+    * WHOLE for `minAgeMs` (crashed stages whose snapshot id is unknown,
+    * residue of failed compactions). The freshness gate is per-DIRECTORY —
+    * newest file inside wins — never per-file: a long-running stage closes
+    * its first part files long before its last, and a per-file gate would
+    * delete the early files of a still-active stage, silently corrupting
+    * that writer's upcoming commit. A dir containing any referenced file is
+    * never touched. Returns deleted file count.
     */
   def removeOrphanFiles(minAgeMs: Long = 3600000L): Int = {
+    require(minAgeMs > 0,
+      s"minAgeMs must be > 0, got $minAgeMs: the age gate is the only " +
+        "protection for a concurrent writer's in-flight staged files")
     val cutoff = System.currentTimeMillis() - minAgeMs
-    def canon(p: Path): Path = p.toAbsolutePath.normalize
     val referenced = snapshots().flatMap(filesAt).map(f => canon(Paths.get(f))).toSet
     val dataRoot = root.resolve("data")
     if (!Files.isDirectory(dataRoot)) return 0
     var deleted = 0
     listDir(dataRoot)(_.toSeq).filter(Files.isDirectory(_)).foreach { d =>
       val contents = walkDir(d)(_.toSeq)
-      contents.filter { p =>
-        Files.isRegularFile(p) && p.toString.endsWith(".parquet") &&
-          !referenced.contains(canon(p)) &&
-          Files.getLastModifiedTime(p).toMillis <= cutoff
-      }.foreach { p => if (Files.deleteIfExists(p)) deleted += 1 }
-      // drop the dir + residue only when nothing referenced or fresh remains
-      val left = walkDir(d)(_.toSeq)
-      val keepDir = left.exists(p => Files.isRegularFile(p) &&
-        (referenced.contains(canon(p)) ||
-          Files.getLastModifiedTime(p).toMillis > cutoff))
-      if (!keepDir) left.reverse.foreach(Files.deleteIfExists(_))
+      val files = contents.filter(Files.isRegularFile(_))
+      val anyReferenced = files.exists(p => referenced.contains(canon(p)))
+      val newest = files.map(p => Files.getLastModifiedTime(p).toMillis)
+        .maxOption.getOrElse(Files.getLastModifiedTime(d).toMillis)
+      if (!anyReferenced && newest <= cutoff) {
+        deleted += files.count(_.toString.endsWith(".parquet"))
+        deleteTreeContents(contents)
+      }
     }
     deleted
   }
@@ -239,8 +246,7 @@ final class SnapshotLog(tableDir: String) {
   /** Abort a staged (uncommitted) snapshot: delete its data directory. */
   def abort(snapshotId: Long): Unit = {
     val d = dataDir(snapshotId)
-    if (Files.exists(d))
-      walkDir(d)(_.toSeq).reverse.foreach(Files.deleteIfExists(_))
+    if (Files.exists(d)) deleteTreeContents(walkDir(d)(_.toSeq))
   }
 
   /** Next snapshot id (monotonic; ids are logical, no wall-clock — SURVEY §5). */

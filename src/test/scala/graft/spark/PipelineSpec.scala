@@ -638,9 +638,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       System.currentTimeMillis() - 7200000L)
     java.nio.file.Files.walk(log.dataDir(9L)).forEach(p =>
       java.nio.file.Files.setLastModifiedTime(p, old))
-    // a concurrent writer's FRESH staged snapshot: unreferenced but recent
+    // a concurrent writer's ACTIVE staged snapshot: unreferenced, and its
+    // FIRST part file closed over an hour ago (long-running stage) while a
+    // later one is fresh — the gate must be per-directory, not per-file, or
+    // the early files of the in-flight stage get deleted (silent data loss
+    // at that writer's commit)
     rows.limit(10).repartition(2).write.mode("overwrite").parquet(log.stageDataDir(1L))
     val freshBefore = log.stagedFiles(1L)
+    java.nio.file.Files.setLastModifiedTime(freshBefore.head, old)
     val deleted = log.removeOrphanFiles(minAgeMs = 3600000L)
     assert(deleted >= 2, s"aged orphans must be reclaimed, deleted=$deleted")
     assert(!java.nio.file.Files.exists(log.dataDir(9L)), "orphan dir must be removed")
