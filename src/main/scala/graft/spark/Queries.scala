@@ -58,7 +58,9 @@ object Queries {
       .withColumn("doc_id", docIdFromUrl)
 
   // DuckDB-side flattened text of a documents row
-  private val sqlFlat = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+  // explicit class = Java \s ([ \t\n\x0B\f\r]): RE2's \s excludes \x0B, so a
+  // bare '\s+' here would diverge from the Spark side on vertical-tab text
+  private val sqlFlat = "trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))"
   private val sqlFirst8 =
     "array_to_string(list_slice(string_split(upper(text), ' '), 1, 8), ' ')"
 
@@ -189,7 +191,7 @@ object Queries {
     // trigrams joined by one space; range(1, n-1) = indices 1..n-2 (1-based)
     "t11_minhash_twin" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks
         |  FROM documents
         |), s AS (
         |  SELECT doc_id,
@@ -209,14 +211,14 @@ object Queries {
     "t12_neardup_twin" ->
       """WITH base AS (
         |  SELECT doc_id, lower(text) AS text FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) >= 5
         |), corpus AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
-        |    regexp_replace(text, '\s+\S+$', '') AS text FROM base
+        |    regexp_replace(text, '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$', '') AS text FROM base
         |), tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM corpus
+        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks FROM corpus
         |), sh AS (
         |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh
@@ -258,14 +260,14 @@ object Queries {
       val popcount = (0 until 16).map(b => s"(x // ${1 << b}) % 2").mkString(" + ")
       raw"""WITH base AS (
         |  SELECT doc_id, lower(text) AS text FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) >= 5
         |), corpus AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
-        |    regexp_replace(text, '\s+\S+$$', '') AS text FROM base
+        |    regexp_replace(text, '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$$', '') AS text FROM base
         |), tk AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '\s+') AS toks FROM corpus
+        |  SELECT doc_id AS id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks FROM corpus
         |), hvt AS (
         |  SELECT id, list_transform(toks, t -> $hv) AS hvs FROM tk
         |), sg AS (
@@ -281,7 +283,7 @@ object Queries {
     },
     "t03_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t04_quality_counts" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
@@ -293,7 +295,7 @@ object Queries {
     "t10_quality_score" ->
       """WITH q AS (
         |  SELECT doc_id, length(text) AS nc,
-        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks,
         |    length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS np
         |  FROM documents
         |), s AS (
@@ -357,13 +359,13 @@ object Queries {
     "t09_jaccard_verify" ->
       """WITH p AS (
         |  SELECT doc_id, lower(text) AS ta,
-        |    lower(regexp_replace(text, '\s+\S+$', '')) AS tb
+        |    lower(regexp_replace(text, '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$', '')) AS tb
         |  FROM documents
-        |  WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) >= 5
         |), w AS (
         |  SELECT doc_id,
-        |    string_split_regex(trim(ta), '\s+') AS wa,
-        |    string_split_regex(trim(tb), '\s+') AS wb
+        |    string_split_regex(trim(ta), '[ \t\n\x0b\f\r]+') AS wa,
+        |    string_split_regex(trim(tb), '[ \t\n\x0b\f\r]+') AS wb
         |  FROM p
         |), tri AS (
         |  SELECT doc_id,
