@@ -651,6 +651,8 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!java.nio.file.Files.exists(log.dataDir(9L)), "orphan dir must be removed")
     assert(log.stagedFiles(1L) == freshBefore, "fresh staged files must survive")
     assert(log.scan(spark, rows.schema).count() == 100, "committed data untouched")
+    // a zero/negative age disables the only concurrent-writer protection
+    intercept[IllegalArgumentException](log.removeOrphanFiles(minAgeMs = 0L))
     log.abort(1L)
   }
 
