@@ -684,6 +684,98 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.scan(spark, rows.schema).orderBy("id").collect().toSeq == before)
   }
 
+  test("manifest-list sharding: append commit writes one segment, never the live inventory") {
+    import java.nio.file.{Files => F, Paths => P}
+    val dir = tmpDir("manifest_list")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(300).select(col("id"), (col("id") % 7).as("v"))
+    rows.filter(col("id") < 100).repartition(4)
+      .write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    val seg0 = P.get(dir, "meta", "seg-0.txt")
+    val seg0Bytes = F.readAllBytes(seg0).toSeq
+    rows.filter(col("id") >= 100 && col("id") < 200).repartition(4)
+      .write.mode("overwrite").parquet(log.stageDataDir(1L))
+    log.commit(1L)
+    // the parent's inventory is carried BY REFERENCE: snap-1's list holds two
+    // manifest pointers and zero inline file entries, and seg-0 is untouched
+    val list1 = F.readAllLines(P.get(dir, "meta", "snap-1.txt"))
+    assert(list1.stream.filter(_.startsWith("manifest\t")).count() == 2, s"$list1")
+    assert(list1.stream.noneMatch(_.startsWith("file\t")), s"$list1")
+    assert(F.readAllBytes(seg0).toSeq == seg0Bytes, "segments must be immutable")
+    // the new segment lists ONLY the staged files (append cost O(staged))
+    val seg1Files = F.readAllLines(P.get(dir, "meta", "seg-1.txt"))
+    assert(seg1Files.size == log.filesAt(1L).size - log.filesAt(0L).size)
+    assert(log.scan(spark, rows.schema).count() == 200)
+    // a replace commit drops the parent pointers: one segment, fresh lineage
+    rows.repartition(4).write.mode("overwrite").parquet(log.stageDataDir(2L))
+    log.commitReplace(2L)
+    val list2 = F.readAllLines(P.get(dir, "meta", "snap-2.txt"))
+    assert(list2.stream.filter(_.startsWith("manifest\t")).count() == 1, s"$list2")
+    assert(log.scan(spark, rows.schema).count() == 300)
+    // time travel still resolves through the shared segments
+    assert(log.scan(spark, rows.schema, asOf = Some(0L)).count() == 100)
+    assert(log.scan(spark, rows.schema, asOf = Some(1L)).count() == 200)
+    // expire down to the replace snapshot: shared segments seg-0/seg-1 are
+    // referenced by no retained list and must be reclaimed with their files
+    val (dropped, deleted) = log.expireSnapshots(keepLast = 1)
+    assert(dropped == 2 && deleted > 0, s"($dropped, $deleted)")
+    assert(!F.exists(seg0) && !F.exists(P.get(dir, "meta", "seg-1.txt")))
+    assert(F.exists(P.get(dir, "meta", "seg-2.txt")), "live segment must survive")
+    assert(log.scan(spark, rows.schema).count() == 300)
+  }
+
+  test("maintenance trio vs a concurrent writer: committed data never deleted, reads stay consistent") {
+    import java.nio.file.{Files => F}
+    // two SnapshotLog instances on ONE table dir: writer A runs the normal
+    // commit/compact/expire cadence while writer B holds a long-running stage
+    // open across every maintenance call — the adversarial interleaving the
+    // age gates and reference counting claim to survive
+    val dir = tmpDir("concurrent")
+    val a = new SnapshotLog(dir)
+    val b = new SnapshotLog(dir)
+    val rows = spark.range(400).select(col("id"), (col("id") % 5).as("v"))
+    rows.filter(col("id") < 100).repartition(8)
+      .write.mode("overwrite").parquet(a.stageDataDir(0L))
+    a.commit(0L)
+    // B stages under the NEXT id (the id a second writer would allocate) and
+    // does not commit yet — its files are referenced by no manifest
+    val bId = b.nextSnapshotId()
+    rows.filter(col("id") >= 100 && col("id") < 200).repartition(4)
+      .write.mode("overwrite").parquet(b.stageDataDir(bId))
+    val bStaged = b.stagedFiles(bId)
+    assert(bStaged.nonEmpty)
+    // A's maintenance sweep runs MID-STAGE: expire must not touch B's files
+    // (referenced-from-expired-only semantics), orphan GC must not either
+    // (B's stage is fresh — inside the age window)
+    a.expireSnapshots(keepLast = 1)
+    a.removeOrphanFiles(minAgeMs = 3600000L)
+    assert(b.stagedFiles(bId) == bStaged,
+      "B's in-flight stage must survive A's expire + orphan sweep")
+    // A's compact must FAIL LOUDLY on the id collision, not delete B's stage
+    // (round-3 compact cleared dataDir(nextSnapshotId()) first — silent loss)
+    val fragmented = a.currentFiles().size
+    if (fragmented > 2) {
+      intercept[IllegalStateException](a.compact(spark, rows.schema, targetFiles = 2))
+      assert(b.stagedFiles(bId) == bStaged,
+        "B's stage must survive A's colliding compact attempt")
+    }
+    // B commits; both writers read the same consistent table
+    b.commit(bId)
+    assert(a.scan(spark, rows.schema).count() == 200)
+    assert(b.scan(spark, rows.schema).count() == 200)
+    // now compact (no collision), then expire: B's committed rows must survive
+    // the full sweep and every reader sees one consistent snapshot throughout
+    val before = a.scan(spark, rows.schema).orderBy("id").collect().toSeq
+    assert(a.compact(spark, rows.schema, targetFiles = 2).isDefined)
+    assert(a.scan(spark, rows.schema).orderBy("id").collect().toSeq == before)
+    a.expireSnapshots(keepLast = 1)
+    a.removeOrphanFiles(minAgeMs = 3600000L)
+    assert(b.scan(spark, rows.schema).orderBy("id").collect().toSeq == before)
+    for (f <- a.currentFiles()) assert(F.exists(java.nio.file.Paths.get(f)),
+      s"live file $f deleted by maintenance")
+  }
+
   test("IVF index build publishes atomically and prunes stale sibling indexes") {
     val sp = spark; import sp.implicits._
     val emb = Seq.tabulate(100)(i =>
