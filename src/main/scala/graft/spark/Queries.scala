@@ -741,7 +741,7 @@ object Queries {
       docs(s, dir).select(col("doc_id"), Functions.langIdUdf(text2).as("lang_pred"))
         .orderBy("doc_id")
     }),
-    // t06-t08 and e01-e04 are rows-only BY NATURE: their outputs are
+    // t06-t08 and e01-e04/e09 are rows-only BY NATURE: their outputs are
     // engine-defined 64-bit hash values (MinHash/SimHash/LSH buckets) or
     // last-ulp-sensitive float reductions over arbitrary data — neither is
     // DuckDB-expressible. Their correctness lives in the ScalaTest suites
@@ -749,7 +749,9 @@ object Queries {
     // a SQL-checkable machinery twin per operator, which swaps only the hash
     // family / data for a SQL-portable one and hash-matches end-to-end:
     //   e01 -> e05 (exact-arithmetic cosine top-k)
-    //   e02 -> e06 (sign-LSH bucket + in-bucket top-k)
+    //   e02 -> e06 (sign-LSH bucket + in-bucket top-k); e09 (the
+    //               materialized-index serving path) shares e06's twin and is
+    //               additionally pinned equal to lshTopK in ScalaTest
     //   e03 -> e07 (multi-probe XOR bucket join + cosine verify)
     //   e04 -> e08 (IVF argmax assign -> probe cells -> top-k, via ivfTopK)
     //   t06 -> t11 (shingle -> per-hash-min signature, md5 family)
@@ -864,22 +866,42 @@ object Queries {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
-      val cents = Embeddings.ivfTrain(emb, k = 16, iters = 1)
-      // key the materialized index by the centroids too: a stale index from an
-      // older kernel version must never satisfy the idempotence probe
-      val centKey = java.lang.Long.toHexString(
-        cents.flatten.foldLeft(1125899906842597L)((h, f) =>
-          h * 257L + java.lang.Float.floatToIntBits(f)))
+      // the index is keyed by TRAINING PARAMETERS + format version (round 3
+      // keyed it by the centroid VALUES, which forced the two training scans
+      // on every call just to derive the key — the hit path never skipped
+      // work); on key hit the centroids load from the index's sidecar and the
+      // probe below is the only Spark work. Bump indexFormatVersion when the
+      // kernel changes so a stale index can never satisfy the probe.
       // CWD-independent location: the driver may fork Verify from elsewhere
       val idxBase = sys.props("java.io.tmpdir") + "/graft_ivf_index"
       val dirKey = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val idxName = dirKey + "_" + centKey
-      Embeddings.ivfBuildIndex(emb, cents, s"$idxBase/$idxName")
-      // GC: indexes for this sfDir built by superseded kernels (different
-      // centroid key) are dead weight in the shared tmpdir — drop them
-      Embeddings.pruneStaleIndexes(idxBase, dirKey + "_", idxName)
+      val idxName = dirKey + s"_ivf16x1_v${Embeddings.indexFormatVersion}"
       val idxPath = s"$idxBase/$idxName"
+      val (cents, _) = Embeddings.ivfEnsureIndex(emb, idxPath, k = 16, iters = 1)
+      // GC: indexes for this sfDir built by superseded kernels (different
+      // version suffix) are dead weight in the shared tmpdir — drop them
+      Embeddings.pruneStaleIndexes(idxBase, dirKey + "_", idxName)
       Embeddings.ivfTopKIndexed(s, idxPath, cents, q, k = 10, nProbe = 6)
+        .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
+    }),
+    "e09_lsh_indexed" -> ((s, dir) => {
+      // ANN serving against the MATERIALIZED hyperplane-LSH bucket index —
+      // round 3's lshTopK (e02 family) re-hashed the corpus per query; here
+      // the 13-probe filter is directory-level partition pruning and the
+      // hash UDF ran once, at build time. Output = lshTopK by construction
+      // (same probes, same in-bucket brute force) — asserted in ScalaTest;
+      // rows-only here because the random-hyperplane hash family is not
+      // SQL-portable (its machinery twin is e06, via sign-LSH).
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val idxBase = sys.props("java.io.tmpdir") + "/graft_lsh_index"
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val idxName = dirKey + s"_lsh12_v${Embeddings.indexFormatVersion}"
+      val idxPath = s"$idxBase/$idxName"
+      Embeddings.lshBuildIndex(emb, idxPath)
+      Embeddings.pruneStaleIndexes(idxBase, dirKey + "_", idxName)
+      Embeddings.lshTopKIndexed(s, idxPath, q, k = 10)
         .select(col("vec_id"), (col("cosine") * 1000000).cast("long").as("cosine_ppm"))
     }),
     "t08_simhash_pairs" -> ((s, dir) => {

@@ -821,6 +821,68 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty && got.head.getLong(0) == 1L)
   }
 
+  test("ivfEnsureIndex: key hit serves from the sidecar with ZERO corpus scans") {
+    val sp = spark; import sp.implicits._
+    val emb = Seq.tabulate(100)(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.61 + d).toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val path = tmpDir("ivf_ensure") + "/idx"
+    val (cents1, trained1) = Embeddings.ivfEnsureIndex(emb, path, k = 4, iters = 1)
+    assert(trained1, "first call must train and publish")
+    // the hit path must never evaluate the corpus: hand it a POISONED frame
+    // whose execution throws — if any training scan (seed sample or Lloyd
+    // pass) ran, this would blow up, which is a stronger assertion than any
+    // job-count listener
+    val boom = udf((v: Seq[Float]) =>
+      sys.error("corpus scanned on index hit"): Seq[Float])
+    val poisoned = emb.withColumn("embedding", boom(col("embedding")))
+    val (cents2, trained2) = Embeddings.ivfEnsureIndex(poisoned, path, k = 4, iters = 1)
+    assert(!trained2, "second call must be a key hit")
+    assert(cents2.map(_.toSeq).toSeq == cents1.map(_.toSeq).toSeq,
+      "sidecar centroids must round-trip exactly (1e-3-rounded floats)")
+    // and the loaded centroids serve identically to the trained ones
+    val q = Array.tabulate(8)(d => math.sin(7 * 0.61 + d).toFloat)
+    val a = Embeddings.ivfTopKIndexed(spark, path, cents1, q, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Embeddings.ivfTopKIndexed(spark, path, cents2, q, k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("lshTopKIndexed: equals scan-based lshTopK and the plan partition-prunes the probes") {
+    val sp = spark; import sp.implicits._
+    val emb = Seq.tabulate(300)(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 0.37 + d * 1.3).toFloat), i % 5))
+      .toDF("vec_id", "embedding", "label")
+    val path = tmpDir("lsh_idx") + "/idx"
+    Embeddings.lshBuildIndex(emb, path)
+    // rebuild is a no-op (the _SUCCESS probe) — same idempotence as IVF
+    Embeddings.lshBuildIndex(emb, path)
+    for (qi <- Seq(0, 7, 42)) {
+      val q = Array.tabulate(16)(d => math.sin(qi * 0.37 + d * 1.3).toFloat)
+      val scanned = Embeddings.lshTopK(emb, q, 10)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      val indexed = Embeddings.lshTopKIndexed(spark, path, q, 10)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(indexed == scanned, s"query $qi: indexed $indexed vs scanned $scanned")
+      assert(indexed.nonEmpty && indexed.head._1 == qi.toLong)
+    }
+    // the serving plan reads the bucket column as a PARTITION filter —
+    // directory pruning, not a post-scan filter over re-hashed rows (the
+    // round-3 weak shape); the per-row hash UDF must be gone entirely
+    val q0 = Array.tabulate(16)(d => math.sin(d * 1.3).toFloat)
+    val plan = Embeddings.lshTopKIndexed(spark, path, q0, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected partition pruning on bucket:\n${plan.take(2000)}")
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("bucket") && pf.contains("IN"),
+      s"bucket IN (probes) must be a PartitionFilter, got: $pf")
+    assert(!plan.toLowerCase.contains("pythonudf") &&
+      !plan.contains("UDF(embedding"),
+      "the serving path must not re-hash the corpus with a UDF")
+  }
+
   test("simhash multi-probe: near-dup differing in a TOP-16 bit is still found (hamming<=3)") {
     val sp = spark; import sp.implicits._
     // find a word substitution that flips >= 1 of the top-16 simhash bits and
