@@ -28,6 +28,12 @@ object Dedup {
     * band keys, verified by MinHash-estimated Jaccard >= `minJaccard`.
     * Returns (a, b, jaccard_permille) with a < b, deduped across bands.
     *
+    * PRECONDITION: `idCol` is unique per row (every corpus here keys docs by
+    * id). The signature relation is keyed by id and pairs re-attach to it by
+    * two id-joins — duplicate ids would fan those joins out into duplicate
+    * (a, b) output rows. Pre-dedupe ids (or run [[exactGroups]]) first if the
+    * input can violate this.
+    *
     * `maxBucketSize` is the 100-TB skew guard: a boilerplate page duplicated
     * 10^9 times puts every copy in ONE band bucket, and the in-bucket self-join
     * is quadratic — 10^18 candidate rows from a single key. Buckets larger than
@@ -36,15 +42,30 @@ object Dedup {
     * [[oversizedBuckets]] returns exactly what was dropped so a pipeline can
     * route those buckets to the exact-dedup path instead of losing them.
     */
-  /** `materialize = false` returns the LAZY pair plan instead of the default
-    * eagerly-materialized one — plan-audit/EXPLAIN use only: the signature
-    * cache then stays persisted for the session (caller owns the lifecycle).
-    */
   def minHashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.5,
-      maxBucketSize: Int = 10000,
-      materialize: Boolean = true): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame = {
+    // Materialize the (small) pair set eagerly, then release the signature
+    // cache — otherwise every call leaks a MEMORY_AND_DISK relation for the
+    // session lifetime. localCheckpoint blocks are owned by the returned DF's
+    // RDD and reclaimed by the ContextCleaner when it is dereferenced.
+    val (pairs, sigs) = minHashPairsPlan(docs, idCol, textCol, minJaccard, maxBucketSize)
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
+  }
+
+  /** The LAZY pair plan plus the persisted signature relation backing it —
+    * plan-audit/EXPLAIN use: the CALLER owns the cache lifecycle and must
+    * `unpersist` the returned signatures once done (round 3 returned only the
+    * plan from a `materialize = false` flag, so the audit caller had no
+    * handle and repeated calls leaked cache entries for the session).
+    */
+  def minHashPairsPlan(
+      docs: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.5,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
     val spark = docs.sparkSession
     import spark.implicits._
     // one shingling pass; persisted because the plan reads it four times (both
@@ -84,14 +105,7 @@ object Dedup {
       .select(col("a"), col("b"), jacUdf(col("sig_a"), col("sig_b")).as("jac"))
       .filter(col("jac") >= minJaccard)
       .select(col("a"), col("b"), (col("jac") * 1000).cast("long").as("jac_permille"))
-    if (!materialize) return pairs
-    // Materialize the (small) pair set eagerly, then release the signature
-    // cache — otherwise every call leaks a MEMORY_AND_DISK relation for the
-    // session lifetime. localCheckpoint blocks are owned by the returned DF's
-    // RDD and reclaimed by the ContextCleaner when it is dereferenced.
-    val out = pairs.localCheckpoint(true)
-    sigs.unpersist(false)
-    out
+    (pairs, sigs)
   }
 
   /** The LSH band buckets larger than `maxBucketSize` — what [[minHashPairs]]
@@ -124,12 +138,23 @@ object Dedup {
     * aggregate AND both self-join sides — unpersisted, the corpus would be
     * scanned and simhashed 3x, the round-2 scale audit's finding); the
     * returned pair set is materialized eagerly and the cache released, the
-    * same lifecycle as [[minHashPairs]]. `materialize = false` returns the
-    * lazy plan for EXPLAIN/audit and the caller owns the cache.
+    * same lifecycle as [[minHashPairs]] ([[simHashPairsPlan]] is the audit
+    * variant: lazy plan + cache handle, caller unpersists). Same unique-id
+    * precondition as [[minHashPairs]].
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 10000,
-      materialize: Boolean = true): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val (pairs, sigs) = simHashPairsPlan(docs, idCol, textCol, maxHamming, maxBucketSize)
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
+  }
+
+  /** Lazy simhash pair plan + the persisted signature relation (audit use;
+    * caller owns the cache — see [[minHashPairsPlan]]).
+    */
+  def simHashPairsPlan(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming $maxHamming outside [0, 15]: blocks of < 4 bits bucket too coarsely")
     val nBlocks = maxHamming + 1
@@ -156,10 +181,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .groupBy("a", "b")
       .agg(min("hamming").as("hamming"))
-    if (!materialize) return pairs // plan-audit path: caller owns sigs' lifecycle
-    val out = pairs.localCheckpoint(true)
-    sigs.unpersist(false)
-    out
+    (pairs, sigs)
   }
 
   /** Exact n-gram Jaccard for a candidate pair set (verification pass after LSH). */

@@ -144,8 +144,20 @@ object Embeddings {
     * per distinct pair is value-identical to per-bucket-then-max.
     */
   def cosineNearDupPairs(embeddings: DataFrame, minCosine: Double,
-      maxBucketSize: Int = 10000,
-      materialize: Boolean = true): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame = {
+    // same eager-materialize + unpersist lifecycle as Dedup.minHashPairs;
+    // same unique-vec_id precondition (pairs re-attach to sigs by id)
+    val (pairs, sigs) = cosineNearDupPairsPlan(embeddings, minCosine, maxBucketSize)
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(false)
+    out
+  }
+
+  /** Lazy pair plan + the persisted signature relation (audit use; caller
+    * owns the cache — see Dedup.minHashPairsPlan for the rationale).
+    */
+  def cosineNearDupPairsPlan(embeddings: DataFrame, minCosine: Double,
+      maxBucketSize: Int = 10000): (DataFrame, DataFrame) = {
     // persisted: the plan reads this subtree four times (hot-bucket agg + both
     // join sides + the anti-join build) — unpersisted the corpus would be
     // scanned and LSH-hashed 4x (round-1 plan audit showed exactly that)
@@ -180,12 +192,7 @@ object Embeddings {
       .select(col("a"), col("b"), cosinePairCol(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= minCosine)
       .select(col("a"), col("b"), (col("cos") * 1000000).cast("long").as("cosine_ppm"))
-    if (!materialize) return pairs // plan-audit path: caller owns sigs' lifecycle
-    // materialize the (small) pair set, then release the signature cache —
-    // same lifecycle as Dedup.minHashPairs: nothing cached outlives the call
-    val out = pairs.localCheckpoint(true)
-    sigs.unpersist(false)
-    out
+    (pairs, sigs)
   }
 
   /** Corpus with deterministic near-duplicate vectors injected (vec_id+offset,

@@ -168,6 +168,17 @@ object Queries {
         |  CAST(min(t) AS BIGINT) AS start_us, CAST(max(t) AS BIGINT) AS end_us,
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM g GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+    // a08: first arrival per (user, type) — the DuckDB twin of the streaming
+    // exact-dedup (dropDuplicatesWithinWatermark); ties inside one timestamp
+    // break by event_id on both engines
+    "a08_dedup_first" ->
+      """SELECT user_id, event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS t_us
+        |FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "j01_semi_join" ->
       """SELECT o_orderkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -600,6 +611,18 @@ object Queries {
         .select(col("user_id"), col("session_idx"), col("start_us"),
           col("end_us"), col("n_events"))
         .orderBy("user_id", "session_idx")
+    }),
+    "a08_dedup_first" -> ((s, dir) => {
+      // first-arrival-per-key, batch window form — the relational twin of
+      // StreamingStats.dedupStream (dropDuplicatesWithinWatermark), which
+      // keeps its MemoryStream test for the state-pruning path; this closes
+      // the last §2.7 shape without an oracle row (a06/a07 cover the others)
+      graft.streaming.StreamingStats
+        .dedupFirstBatch(s.read.parquet(s"$dir/events.parquet"),
+          Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("t_us"))
+        .orderBy("user_id", "event_type")
     }),
     // ---- joins (SURVEY §2.5: J1 semi = the copy step; C2 anti = resume) ----
     "j01_semi_join" -> ((s, dir) => {

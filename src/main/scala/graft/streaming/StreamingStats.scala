@@ -53,24 +53,59 @@ object StreamingStats {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** First-arrival-per-key as a BATCH window plan — the relational twin of
+    * [[dedupStream]] (row_number over (key, ts) -> rn = 1), SQL-expressible
+    * so the DuckDB harness can oracle-check the shape (query
+    * a08_dedup_first; [[dedupStream]] itself keeps the MemoryStream test for
+    * the state-pruning path). On event-time-ordered delivery the two emit
+    * the same rows; ties inside one timestamp break by event_id so the
+    * result is deterministic under any partitioning.
+    *
+    * Scale shape: one shuffle on the key columns; per-task state is one
+    * partition's rows, spillable — and at 100 TB this is the backfill twin
+    * one runs over landed history while [[dedupStream]] owns the live edge.
+    */
+  def dedupFirstBatch(events: DataFrame, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   final case class Event(event_id: Long, user_id: Long, event_type: String,
       ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class SessionsState(open: List[SessionState])
-  final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Epoch MICROSECONDS of a timestamp — the precision the parquet relation
+    * stores and [[sessionizeBatch]]/the a07 oracle compute with. Timestamp
+    * .getTime truncates to milliseconds, so round 3's streaming gap
+    * arithmetic MERGED an event landing exactly gap + a sub-ms fraction
+    * after a session end where the batch twin split it (round-3 ADVICE).
+    */
+  private def micros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
 
   /** Gap-based sessionization with explicit state: per user, a LIST of
     * disjoint open sessions (not just one — an out-of-order event legal
-    * within the watermark may start a separate session more than `gapMs`
+    * within the watermark may start a separate session more than `gapUs`
     * BEFORE the currently-open one, or bridge two open sessions into one).
-    * A session emits once the watermark passes its last event + `gapMs`,
+    * A session emits once the watermark passes its last event + `gapUs`,
     * enforced by an event-time timeout on the earliest open session. The
     * custom-state (`flatMapGroupsWithState`) shape — what windowed
     * aggregates can't express. State stays small: open sessions all end
     * within the watermark horizon of `max ts`, so the list is bounded by
-    * horizon / gap entries.
+    * horizon / gap entries. All gap arithmetic is in MICROSECONDS, matching
+    * [[sessionizeBatch]] exactly; only the engine-facing watermark/timeout
+    * surface (millisecond-granular) is converted, conservatively.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapUs: Long): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -82,24 +117,26 @@ object StreamingStats {
           def flush(open: List[SessionState]): Iterator[Session] = {
             // emit every session the watermark has sealed (no event can land
             // within gap of it anymore); keep the rest, timeout on the earliest
-            val wm = state.getCurrentWatermarkMs()
-            val (closed, kept) = open.partition(s => s.last + gapMs <= wm)
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (closed, kept) = open.partition(s => s.last + gapUs <= wmUs)
             if (kept.nonEmpty) {
               state.update(SessionsState(kept))
-              state.setTimeoutTimestamp(kept.map(_.last).min + gapMs)
+              // engine timeouts are ms-granular: ceil so the timeout never
+              // fires BEFORE the µs deadline (a late fire just re-flushes)
+              state.setTimeoutTimestamp((kept.map(_.last).min + gapUs + 999L) / 1000L)
             } else state.remove()
             closed.iterator.map(s => Session(user, s.start, s.last, s.n))
           }
           if (state.hasTimedOut) flush(state.get.open)
           else {
             // fold the batch's events into the open-session list: an event
-            // merges every open session within gapMs of it (possibly bridging
+            // merges every open session within gapUs of it (possibly bridging
             // two) or opens a new one; rows below the watermark were already
             // dropped upstream, so every fold here is watermark-legal
             var open = state.getOption.map(_.open).getOrElse(Nil)
             for (e <- it) {
-              val t = e.ts.getTime
-              val (near, far) = open.partition(s => t >= s.start - gapMs && t <= s.last + gapMs)
+              val t = micros(e.ts)
+              val (near, far) = open.partition(s => t >= s.start - gapUs && t <= s.last + gapUs)
               val merged =
                 if (near.isEmpty) SessionState(t, t, 1)
                 else SessionState(

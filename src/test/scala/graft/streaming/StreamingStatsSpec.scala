@@ -65,8 +65,8 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Event]
-    val gapMs = 300000L // 5 min
-    val q = StreamingStats.sessionize(ms.toDS(), gapMs)
+    val gapUs = 300000000L // 5 min, µs (gap arithmetic matches the batch twin)
+    val q = StreamingStats.sessionize(ms.toDS(), gapUs)
       .writeStream.format("memory").queryName("sessions").outputMode("append").start()
     try {
       // user 1: two events 1s apart (one session), then one 700s later (gap
@@ -82,8 +82,8 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ms.addData(ev(11, 99, "click", 10000))
       q.processAllAvailable()
       val sessions = spark.table("sessions").as[Session].collect()
-        .filter(_.user_id == 1L).map(s => (s.start_ms, s.end_ms, s.n_events)).toSet
-      assert(sessions == Set((3600000L, 3601000L, 2), (4300000L, 4300000L, 1)),
+        .filter(_.user_id == 1L).map(s => (s.start_us, s.end_us, s.n_events)).toSet
+      assert(sessions == Set((3600000000L, 3601000000L, 2), (4300000000L, 4300000000L, 1)),
         s"got $sessions")
     } finally q.stop()
   }
@@ -92,8 +92,8 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Event]
-    val gapMs = 300000L // 5 min
-    val q = StreamingStats.sessionize(ms.toDS(), gapMs)
+    val gapUs = 300000000L // 5 min
+    val q = StreamingStats.sessionize(ms.toDS(), gapUs)
       .writeStream.format("memory").queryName("sessions_ooo").outputMode("append").start()
     try {
       // batch 1: session last = 3700s (watermark from max ts 3700 - 10 min = 3100)
@@ -109,8 +109,8 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ms.addData(ev(11, 99, "click", 10000))
       q.processAllAvailable()
       val sessions = spark.table("sessions_ooo").as[Session].collect()
-        .filter(_.user_id == 1L).map(s => (s.start_ms, s.end_ms, s.n_events)).toSet
-      assert(sessions == Set((3600000L, 3700000L, 3)), s"got $sessions")
+        .filter(_.user_id == 1L).map(s => (s.start_us, s.end_us, s.n_events)).toSet
+      assert(sessions == Set((3600000000L, 3700000000L, 3)), s"got $sessions")
     } finally q.stop()
   }
 
@@ -118,8 +118,8 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Event]
-    val gapMs = 300000L // 5 min
-    val q = StreamingStats.sessionize(ms.toDS(), gapMs)
+    val gapUs = 300000000L // 5 min
+    val q = StreamingStats.sessionize(ms.toDS(), gapUs)
       .writeStream.format("memory").queryName("sessions_pre").outputMode("append").start()
     try {
       // batch 1: session at 3600s (watermark from max ts 3600 - 10 min = 3000s)
@@ -136,8 +136,8 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ms.addData(ev(11, 99, "click", 10000))
       q.processAllAvailable()
       val sessions = spark.table("sessions_pre").as[Session].collect()
-        .filter(_.user_id == 1L).map(s => (s.start_ms, s.end_ms, s.n_events)).toSet
-      assert(sessions == Set((3180000L, 3180000L, 1), (3600000L, 3600000L, 1)),
+        .filter(_.user_id == 1L).map(s => (s.start_us, s.end_us, s.n_events)).toSet
+      assert(sessions == Set((3180000000L, 3180000000L, 1), (3600000000L, 3600000000L, 1)),
         s"got $sessions")
     } finally q.stop()
   }
@@ -175,13 +175,15 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val step = (i / 4) * 100L + (i / 4 / 3) * 700L
       ev(i.toLong, user, "click", base + step)
     }
-    val gapMs = 300000L
-    val batch = StreamingStats.sessionizeBatch(events.toDF(), gapMs * 1000L)
-      .select(col("user_id"), (col("start_us") / 1000).cast("long").as("s"),
-        (col("end_us") / 1000).cast("long").as("e"), col("n_events").cast("int"))
+    val gapUs = 300000000L
+    // the twins now share ONE µs gap value and µs arithmetic — no unit
+    // conversion on either side of the comparison
+    val batch = StreamingStats.sessionizeBatch(events.toDF(), gapUs)
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events").cast("int"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     val ms = MemoryStream[Event]
-    val q = StreamingStats.sessionize(ms.toDS(), gapMs)
+    val q = StreamingStats.sessionize(ms.toDS(), gapUs)
       .writeStream.format("memory").queryName("sessions_xchk").outputMode("append").start()
     try {
       ms.addData(events: _*)
@@ -193,9 +195,66 @@ class StreamingStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
       q.processAllAvailable()
       val streamed = spark.table("sessions_xchk").as[Session].collect()
         .filter(_.user_id != 99L)
-        .map(s => (s.user_id, s.start_ms, s.end_ms, s.n_events)).toSet
+        .map(s => (s.user_id, s.start_us, s.end_us, s.n_events)).toSet
       assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
       assert(batch.size > events.length / 10, "fixture must produce several sessions")
+    } finally q.stop()
+  }
+
+  test("sessionize: a sub-ms fraction past the gap SPLITS, exactly like the batch twin") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // event B lands gap + 1µs after A: round 3 compared ts.getTime (ms,
+    // truncated) so the pair MERGED in streaming while sessionizeBatch and
+    // the a07 oracle split it — the micro-precision divergence of the
+    // round-3 ADVICE. Both sides must split now.
+    val gapUs = 300000000L
+    val tA = new Timestamp(3600000L); tA.setNanos(0)
+    val tB = new Timestamp(3600000L + gapUs / 1000L); tB.setNanos(1000) // +1µs
+    val a = Event(1, 1, "click", tA, 1.0)
+    val b = Event(2, 1, "click", tB, 1.0)
+    val batch = StreamingStats.sessionizeBatch(Seq(a, b).toDF(), gapUs)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(batch.size == 2, s"batch must split the gap+1µs pair, got $batch")
+    val ms = MemoryStream[Event]
+    val q = StreamingStats.sessionize(ms.toDS(), gapUs)
+      .writeStream.format("memory").queryName("sessions_us").outputMode("append").start()
+    try {
+      ms.addData(a, b)
+      q.processAllAvailable()
+      ms.addData(Event(10, 99, "click", new Timestamp(9000000L), 1.0))
+      q.processAllAvailable()
+      ms.addData(Event(11, 99, "click", new Timestamp(10000000L), 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_us").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.user_id, s.start_us, s.end_us, s.n_events.toLong)).toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("dedupFirstBatch (window twin) agrees with dedupStream on ordered delivery") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // duplicate keys with distinct timestamps, delivered in event-time order
+    val events = (0 until 60).map { i =>
+      ev(i.toLong, i % 7, if (i % 2 == 0) "click" else "view", 100000L + i * 10L)
+    }
+    val batch = StreamingStats
+      .dedupFirstBatch(events.toDF(), Seq("user_id", "event_type"))
+      .select("event_id", "user_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val ms = MemoryStream[Event]
+    val q = StreamingStats.dedupStream(ms.toDS().toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_twin").outputMode("append").start()
+    try {
+      ms.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_twin").as[Event].collect()
+        .map(e => (e.event_id, e.user_id, e.event_type)).toSet
+      assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+      assert(batch.size == 14, s"7 users x 2 types, got ${batch.size}")
     } finally q.stop()
   }
 }
