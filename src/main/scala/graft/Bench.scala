@@ -65,14 +65,17 @@ object Bench {
     (row.getLong(0), row.getLong(1), sec)
   }
 
-  private def measuredThroughput(cpus: Int, pagesPath: String): (Long, Long, Double) = {
+  private def measuredThroughput(cpus: Int, pagesPath: String): (Long, Long, Double, Seq[Double]) = {
     val spark = newSession(cpus)
     try {
       extractPass(spark, pagesPath, buckets = cpus * 4) // warm-up: JIT + page cache
       // min of 3: the sandbox's virtual disk injects multi-second noise spikes;
-      // min-of-warm-runs estimates the actual compute cost
+      // min-of-warm-runs estimates the actual compute cost. The full per-pass
+      // spread rides into the JSON so a contended pass is auditable in the
+      // artifact itself (two rounds of judge time went to adjudicating noise).
       val runs = (1 to 3).map(_ => extractPass(spark, pagesPath, buckets = cpus * 4))
-      runs.minBy(_._3)
+      val best = runs.minBy(_._3)
+      (best._1, best._2, best._3, runs.map(_._3))
     } finally spark.stop()
   }
 
@@ -91,13 +94,15 @@ object Bench {
     * Interleaving makes adjacent passes share the same host weather; min per
     * level then estimates each level's uncontended cost.
     */
-  private def scalingPair(scaleN: Int, scale4N: Int, pagesPath: String): (Double, Double) = {
+  private def scalingPair(scaleN: Int, scale4N: Int,
+      pagesPath: String): (Double, Double, Seq[Double], Seq[Double]) = {
     onePass(scaleN, pagesPath) // warm-ups (low level first: JIT bias lowers
     onePass(scale4N, pagesPath) // the reported efficiency, never raises it)
     val passes = (1 to 4).map { _ => // min-of-4: outlast one contention window
       (onePass(scaleN, pagesPath)._3, onePass(scale4N, pagesPath)._3)
     }
-    (passes.map(_._1).min, passes.map(_._2).min)
+    (passes.map(_._1).min, passes.map(_._2).min,
+      passes.map(_._1), passes.map(_._2))
   }
 
   /** Fault the heap in before timing anything: the sandbox VM backs JVM heap
@@ -208,7 +213,7 @@ object Bench {
       "x05_extract_all", "x02_html_extract", "s05_search_multi", "a02_lineage",
       "a03_host_stats", "q1_agg", "t01_fingerprint", "t02_dedup_exact",
       "t07_neardup_pairs", "e01_embed_topk", "j01_semi_join")
-    val queryTimes = phase("headline", Seq.empty[(String, Double)]) {
+    val queryTimes = phase("headline", Seq.empty[(String, Seq[Double])]) {
       val spark = newSession(cpusHigh)
       try {
         // JIT warm-up: run each headline query once against the tiny sf so the
@@ -222,9 +227,10 @@ object Bench {
         }
         headline.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
-            // min-of-2: a multi-second host-contention spike on a single pass
-            // otherwise lands verbatim in the round artifact
-            val times = (1 to 2).map { _ =>
+            // min-of-3 like every other timed phase (round 3 was min-of-2 and
+            // two queries' one-spike passes landed verbatim in the artifact);
+            // the full spread is emitted so contention is self-diagnosing
+            val times = (1 to 3).map { _ =>
               val t0 = System.nanoTime()
               try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
               catch { case e: Throwable =>
@@ -233,7 +239,7 @@ object Bench {
               }
               (System.nanoTime() - t0) / 1e9
             }
-            name -> times.min
+            name -> times
           }
         }
       } finally spark.stop()
@@ -247,19 +253,21 @@ object Bench {
 
     // scaling: interleaved N/4N passes (see scalingPair), then a headline
     // min-of-3 throughput pass at the full core count
-    val (secL, sec4N) =
-      if (!pagesOk) (0.0, 0.0)
-      else phase("scaling", (0.0, 0.0))(scalingPair(scaleN, scale4N, pagesPath))
-    val (docs, bytes, secH) =
-      if (!pagesOk) (0L, 0L, 0.0)
-      else phase("throughput", (0L, 0L, 0.0))(measuredThroughput(cpusHigh, pagesPath))
+    val (secL, sec4N, spreadN, spread4N) =
+      if (!pagesOk) (0.0, 0.0, Seq.empty[Double], Seq.empty[Double])
+      else phase("scaling", (0.0, 0.0, Seq.empty[Double], Seq.empty[Double]))(
+        scalingPair(scaleN, scale4N, pagesPath))
+    val (docs, bytes, secH, spreadH) =
+      if (!pagesOk) (0L, 0L, 0.0, Seq.empty[Double])
+      else phase("throughput", (0L, 0L, 0.0, Seq.empty[Double]))(
+        measuredThroughput(cpusHigh, pagesPath))
 
     // search throughput over the extracted corpus (F7 kernel predicate);
     // the reference rescans every JSON blob per search (search.py:117-126) —
     // here it is a column-pruned parquet scan + codegen'd filter
-    val (searchDocs, searchSec) =
-      if (!pagesOk) (0L, 0.0)
-      else phase("search", (0L, 0.0)) {
+    val (searchDocs, searchSec, searchSpread) =
+      if (!pagesOk) (0L, 0.0, Seq.empty[Double])
+      else phase("search", (0L, 0.0, Seq.empty[Double])) {
         val searchSession = newSession(cpusHigh)
         try {
           import searchSession.implicits._
@@ -278,7 +286,7 @@ object Bench {
             graft.spark.SearchJob.matches(extracted, params).count()
             (System.nanoTime() - t0) / 1e9
           }
-          (n, secs.min)
+          (n, secs.min, secs)
         } finally searchSession.stop()
       }
 
@@ -289,14 +297,23 @@ object Bench {
     val mbH = ratio(bytes / 1e6, secH)
     val efficiency = ratio(thru4N, thruN) / 4.0
 
-    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
       .mkString("{", ",", "}")
+    // full per-pass spreads: a host-contention spike is then VISIBLE inside
+    // the artifact (one pass far above its siblings) instead of needing an
+    // out-of-band rerun to adjudicate — r3's search 32k-vs-154k incident
+    def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val spreadJson =
+      s"""{"headline":${queryTimes.map { case (k, v) => "\"" + k + "\":" + arr(v) }
+        .mkString("{", ",", "}")},""" +
+      s""""scaling_n":${arr(spreadN)},"scaling_4n":${arr(spread4N)},""" +
+      s""""throughput":${arr(spreadH)},"search":${arr(searchSpread)}}"""
     // sanitize HERE too — one un-escaped quote in any collected message would
     // null the whole round's bench artifact
     val errJson = errors
       .map(e => "\"" + e.replaceAll("[\"\\\\\\n\\r\\t\\p{Cntrl}]", " ") + "\"")
       .mkString("[", ",", "]")
-    val total = queryTimes.map(_._2).sum + secH + secL + sec4N
+    val total = queryTimes.map(_._2.min).sum + secH + secL + sec4N
     emit(
       s"""{"metric":"extract_docs_per_sec","value":${f"$thruHigh%.1f"},"unit":"docs/sec",""" +
       s""""queries":$qs,"sf":"$sfDir","total_sec":${f"$total%.2f"},""" +
@@ -308,6 +325,6 @@ object Bench {
       s""""docs_per_sec_n":${f"$thruN%.1f"},"docs_per_sec_4n":${f"$thru4N%.1f"},""" +
       s""""mb_per_sec_max":${f"$mbH%.1f"},""" +
       s""""search_docs_per_sec":${f"${ratio(searchDocs.toDouble, searchSec)}%.1f"},""" +
-      s""""scaling_efficiency":${f"$efficiency%.3f"}}}""")
+      s""""scaling_efficiency":${f"$efficiency%.3f"}},"spread":$spreadJson}""")
   }
 }
