@@ -849,6 +849,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("ANN recall@10 >= 0.9 at the operator defaults on a clustered corpus") {
+    val sp = spark; import sp.implicits._
+    // 16-cluster corpus, the shape real embedding spaces have (RecallProbe
+    // records the full sweep: on the near-isotropic FIXTURE vectors recall
+    // is information-bounded by corpus fraction read — no index can cluster
+    // what has no clusters — so the >= 0.9 pin belongs on clustered data)
+    val n = 800; val dim = 64
+    val clustered = Seq.tabulate(n) { i =>
+      val c = i % 16
+      (i.toLong, Array.tabulate(dim)(d =>
+        (math.sin(c * 2.17 + d * 0.91) + 0.15 * math.sin(i * 3.77 + d * 1.3)).toFloat),
+        c)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Embeddings.ivfTrain(clustered, k = 16, iters = 1)
+    val queries = (0 until 8).map { qi =>
+      clustered.filter(col("vec_id") === qi.toLong)
+        .select("embedding").head().getSeq[Float](0).toArray
+    }
+    var ivfRec = 0.0; var lshRec = 0.0
+    for (q <- queries) {
+      val truth = Embeddings.bruteForceTopK(clustered, q, 10)
+        .collect().map(_.getLong(0)).toSet
+      ivfRec += Embeddings.ivfTopK(clustered, cents, q, 10, nProbe = 6)
+        .collect().map(_.getLong(0)).count(truth) / 10.0
+      lshRec += Embeddings.lshTopK(clustered, q, 10)
+        .collect().map(_.getLong(0)).count(truth) / 10.0
+    }
+    ivfRec /= queries.length; lshRec /= queries.length
+    assert(ivfRec >= 0.9, f"IVF recall@10 at nProbe=6/16 was $ivfRec%.3f")
+    assert(lshRec >= 0.9, f"LSH recall@10 at 12-bit 13-probe was $lshRec%.3f")
+  }
+
   test("lshTopKIndexed: equals scan-based lshTopK and the plan partition-prunes the probes") {
     val sp = spark; import sp.implicits._
     val emb = Seq.tabulate(300)(i =>
