@@ -725,6 +725,59 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.scan(spark, rows.schema).count() == 300)
   }
 
+  test("manifest-list crash recovery: segment-without-list retries cleanly; legacy inline format migrates") {
+    import java.nio.file.{Files => F, Paths => P}
+    val dir = tmpDir("manifest_crash")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(200).select(col("id"), (col("id") % 7).as("v"))
+    rows.filter(col("id") < 100).repartition(4)
+      .write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    // simulate a commit that crashed BETWEEN segment write and list write:
+    // stage snapshot 1, write its segment by hand, no list — the table still
+    // reads as snapshot 0, and retrying commit(1) must succeed (last segment
+    // write wins) with no duplicate file entries
+    rows.filter(col("id") >= 100).repartition(4)
+      .write.mode("overwrite").parquet(log.stageDataDir(1L))
+    F.writeString(P.get(dir, "meta", "seg-1.txt"), "file\tgarbage/from/crash.parquet\n")
+    assert(log.currentSnapshot().contains(0L))
+    assert(log.scan(spark, rows.schema).count() == 100)
+    log.commit(1L)
+    assert(log.scan(spark, rows.schema).count() == 200)
+    assert(log.filesAt(1L).size == log.filesAt(1L).distinct.size)
+    assert(!log.filesAt(1L).exists(_.contains("garbage")),
+      "retried commit must overwrite the crashed segment")
+    // an ORPHANED segment (id never retried) ages out via removeOrphanFiles
+    F.writeString(P.get(dir, "meta", "seg-99.txt"), "file\tgarbage/stale.parquet\n")
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 7200000L)
+    F.setLastModifiedTime(P.get(dir, "meta", "seg-99.txt"), old)
+    log.removeOrphanFiles(minAgeMs = 3600000L)
+    assert(!F.exists(P.get(dir, "meta", "seg-99.txt")), "aged orphan segment reclaimed")
+    // LEGACY migration: a pre-round-4 table whose snapshot file lists data
+    // files INLINE still reads, and one append commit over it converges the
+    // metadata to pure list+segment form with identical content
+    val legacyDir = tmpDir("manifest_legacy")
+    val legacy = new SnapshotLog(legacyDir)
+    rows.filter(col("id") < 100).repartition(4)
+      .write.mode("overwrite").parquet(legacy.stageDataDir(0L))
+    val staged = legacy.stagedFiles(0L)
+      .map(p => P.get(legacyDir).relativize(p).toString)
+    F.createDirectories(P.get(legacyDir, "meta"))
+    F.writeString(P.get(legacyDir, "meta", "snap-0.txt"),
+      ("snapshot\t0\tparent\t-1" +: staged.map(f => s"file\t$f")).mkString("", "\n", "\n"))
+    F.writeString(P.get(legacyDir, "meta", "current"), "0")
+    assert(legacy.scan(spark, rows.schema).count() == 100, "legacy inline format must read")
+    rows.filter(col("id") >= 100).repartition(4)
+      .write.mode("overwrite").parquet(legacy.stageDataDir(1L))
+    legacy.commit(1L)
+    assert(legacy.scan(spark, rows.schema).count() == 200)
+    val list1 = F.readAllLines(P.get(legacyDir, "meta", "snap-1.txt"))
+    assert(list1.stream.noneMatch(_.startsWith("file\t")),
+      "one append over a legacy parent must converge to pure segment form")
+    assert(legacy.filesAt(1L).toSet.size == legacy.filesAt(1L).size)
+  }
+
   test("maintenance trio vs a concurrent writer: committed data never deleted, reads stay consistent") {
     import java.nio.file.{Files => F}
     // two SnapshotLog instances on ONE table dir: writer A runs the normal
