@@ -87,21 +87,30 @@ object Bench {
     try extractPass(spark, pagesPath, buckets = cpus * 4) finally spark.stop()
   }
 
-  /** The N / 4N scaling pair, measured INTERLEAVED (N,4N, N,4N, N,4N after one
+  /** The N / 4N scaling pair, measured INTERLEAVED (N,4N, N,4N, ... after one
     * warm-up each): the sandbox host occasionally suffers sustained multi-
     * minute contention windows, and with block-ordered passes such a window
     * lands entirely on one level and skews the efficiency ratio both ways.
-    * Interleaving makes adjacent passes share the same host weather; min per
-    * level then estimates each level's uncontended cost.
+    * Interleaving makes the two passes of a PAIR share the same host weather,
+    * so each pair yields its own efficiency estimate (secN / (4 * sec4N));
+    * the reported efficiency is the MEDIAN over pairs. Round 3 reported
+    * min-per-level / min-per-level, which under a contention window that
+    * lifts mid-run combines an inflated N floor with a clean 4N floor —
+    * observed as an impossible 1.1 "efficiency" in a round-4 dev run. The
+    * min-per-level seconds are still returned (and emitted) for per-level
+    * THROUGHPUT, where min genuinely estimates the uncontended cost.
     */
   private def scalingPair(scaleN: Int, scale4N: Int,
-      pagesPath: String): (Double, Double, Seq[Double], Seq[Double]) = {
+      pagesPath: String): (Double, Double, Double, Seq[Double], Seq[Double]) = {
     onePass(scaleN, pagesPath) // warm-ups (low level first: JIT bias lowers
     onePass(scale4N, pagesPath) // the reported efficiency, never raises it)
-    val passes = (1 to 4).map { _ => // min-of-4: outlast one contention window
+    val passes = (1 to 4).map { _ => // 4 pairs: outlast one contention window
       (onePass(scaleN, pagesPath)._3, onePass(scale4N, pagesPath)._3)
     }
-    (passes.map(_._1).min, passes.map(_._2).min,
+    val pairEffs = passes.map { case (n, n4) => n / (4.0 * n4) }.sorted
+    val median = (pairEffs(pairEffs.length / 2) +
+      pairEffs((pairEffs.length - 1) / 2)) / 2.0
+    (passes.map(_._1).min, passes.map(_._2).min, median,
       passes.map(_._1), passes.map(_._2))
   }
 
@@ -253,9 +262,9 @@ object Bench {
 
     // scaling: interleaved N/4N passes (see scalingPair), then a headline
     // min-of-3 throughput pass at the full core count
-    val (secL, sec4N, spreadN, spread4N) =
-      if (!pagesOk) (0.0, 0.0, Seq.empty[Double], Seq.empty[Double])
-      else phase("scaling", (0.0, 0.0, Seq.empty[Double], Seq.empty[Double]))(
+    val (secL, sec4N, pairEff, spreadN, spread4N) =
+      if (!pagesOk) (0.0, 0.0, 0.0, Seq.empty[Double], Seq.empty[Double])
+      else phase("scaling", (0.0, 0.0, 0.0, Seq.empty[Double], Seq.empty[Double]))(
         scalingPair(scaleN, scale4N, pagesPath))
     val (docs, bytes, secH, spreadH) =
       if (!pagesOk) (0L, 0L, 0.0, Seq.empty[Double])
@@ -295,7 +304,7 @@ object Bench {
     val thruN = ratio(docs.toDouble, secL)
     val thru4N = ratio(docs.toDouble, sec4N)
     val mbH = ratio(bytes / 1e6, secH)
-    val efficiency = ratio(thru4N, thruN) / 4.0
+    val efficiency = pairEff // median over same-weather interleaved pairs
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"${v.min}%.3f" }
       .mkString("{", ",", "}")
@@ -307,6 +316,8 @@ object Bench {
       s"""{"headline":${queryTimes.map { case (k, v) => "\"" + k + "\":" + arr(v) }
         .mkString("{", ",", "}")},""" +
       s""""scaling_n":${arr(spreadN)},"scaling_4n":${arr(spread4N)},""" +
+      s""""scaling_pair_eff":${arr(spreadN.zip(spread4N).map { case (n, n4) =>
+        if (n4 > 0) n / (4.0 * n4) else 0.0 })},""" +
       s""""throughput":${arr(spreadH)},"search":${arr(searchSpread)}}"""
     // sanitize HERE too — one un-escaped quote in any collected message would
     // null the whole round's bench artifact
