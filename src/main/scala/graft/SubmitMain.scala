@@ -39,7 +39,9 @@ object SubmitMain {
         |  bundle  <matchedDir> <bundleDir>
         |  expire  <tableDir> <keepLast>
         |  compact <tableDir> [targetFiles=128]
-        |  orphans <tableDir> [minAgeHours=1]""".stripMargin)
+        |  orphans <tableDir> [minAgeHours=1]
+        |  lsh-index <embeddingsParquet> <indexDir>
+        |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]""".stripMargin)
     sys.exit(2)
   }
 
@@ -139,6 +141,24 @@ object SubmitMain {
             case Some(id) => println(s"compacted $tableDir into <= $target files (snapshot $id)")
             case None => println(s"$tableDir already at or under $target files; no-op")
           }
+        case "lsh-index" =>
+          // materialize the ANN serving index (P7): bucket-partitioned, so a
+          // 13-probe query reads 13 directories, not the corpus. Idempotent
+          // (atomic publish + _SUCCESS probe); rebuild after corpus changes
+          // by pointing at a fresh indexDir and GC'ing the old one
+          val Array(_, embPath, indexDir) = args.take(3)
+          graft.spark.Embeddings.lshBuildIndex(spark.read.parquet(embPath), indexDir)
+          println(s"LSH bucket index published at $indexDir")
+        case "ivf-index" =>
+          // train (or key-hit) the IVF coarse index (P8): centroids ride the
+          // index as a sidecar, so serving (ivfTopKIndexed) never re-trains
+          val Array(_, embPath, indexDir) = args.take(3)
+          val cells = if (args.length > 3) args(3).toInt else 16
+          val iters = if (args.length > 4) args(4).toInt else 1
+          val (cents, trained) = graft.spark.Embeddings
+            .ivfEnsureIndex(spark.read.parquet(embPath), indexDir, cells, iters)
+          println(s"IVF index at $indexDir: ${cents.length} cells, " +
+            (if (trained) "trained + published" else "key hit (no training scans)"))
         case _ => usage()
       }
     } finally spark.stop()
