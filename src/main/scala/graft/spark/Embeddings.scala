@@ -372,7 +372,14 @@ object Embeddings {
     if (java.nio.file.Files.exists(target.resolve("_SUCCESS"))) return
     val tmp = java.nio.file.Paths.get(
       path + ".tmp-" + java.util.UUID.randomUUID().toString)
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
+    // cluster rows by the partition key BEFORE the partitioned write: without
+    // it every write task emits one file per partition value it sees — at
+    // 1000 tasks x 4096 LSH buckets that is millions of small index files,
+    // the exact pathology compact() exists to undo. One shuffle at build time
+    // (hash on the key; parallelism = spark.sql.shuffle.partitions, which a
+    // cluster sizes to ~2-3x cores) buys exactly one file per bucket.
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(tmp.toString)
     // sidecars land in the temp dir BEFORE the rename: the publish is atomic
     // for index bytes and sidecar together
     sidecars.foreach { case (name, body) =>

@@ -952,6 +952,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(indexed == scanned, s"query $qi: indexed $indexed vs scanned $scanned")
       assert(indexed.nonEmpty && indexed.head._1 == qi.toLong)
     }
+    // file-count discipline: rows were clustered by bucket before the
+    // partitioned write, so each bucket directory holds exactly ONE part
+    // file — without the pre-repartition every write task emits a file per
+    // bucket it sees (tasks x buckets files at scale)
+    val parts = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+    val partsByBucket = try {
+      import scala.jdk.CollectionConverters._
+      parts.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+    } finally parts.close()
+    assert(partsByBucket.nonEmpty)
+    assert(partsByBucket.values.forall(_.size == 1),
+      s"one file per bucket dir expected, got ${partsByBucket.view.mapValues(_.size).toMap}")
     // the serving plan reads the bucket column as a PARTITION filter —
     // directory pruning, not a post-scan filter over re-hashed rows (the
     // round-3 weak shape); the per-row hash UDF must be gone entirely
