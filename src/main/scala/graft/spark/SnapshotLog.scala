@@ -272,6 +272,11 @@ final class SnapshotLog(tableDir: String) {
     * time-travel-able until [[expireSnapshots]] reclaims the pre-compaction
     * files.
     *
+    * Compaction also compacts METADATA: the replace commit references one
+    * fresh segment, so a long append lineage's segment chain (scan listing
+    * reads O(commits) small files) collapses back to a single segment — the
+    * same maintenance cadence bounds both file count and listing cost.
+    *
     * Returns the new snapshot id, or None when already at or under target.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
