@@ -339,14 +339,20 @@ final class SnapshotLog(tableDir: String) {
     }
     // manifest segments referenced by no snapshot list (a commit that crashed
     // between its segment write and its list write, for an id never retried)
-    // age out the same way — metadata orphans, not just data orphans
+    // age out the same way — metadata orphans, not just data orphans. So do
+    // aged `.tmp` staging files left by a commit that crashed mid-write
+    // (seg-/snap-/current.tmp): atomic-move staging means they are invisible
+    // to readers, but they are disk residue all the same; the age gate keeps
+    // an in-flight writer's fresh tmp safe exactly like staged data files
     if (Files.isDirectory(metaDir)) {
       val referencedSegs = snapshots().flatMap(segmentsAt)
         .map(sg => canon(root.resolve(sg))).toSet
       listDir(metaDir)(_.toSeq).foreach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("seg-") && n.endsWith(".txt") &&
-            !referencedSegs.contains(canon(p)) &&
+        val orphanSeg = n.startsWith("seg-") && n.endsWith(".txt") &&
+          !referencedSegs.contains(canon(p))
+        val crashedTmp = n.endsWith(".tmp")
+        if ((orphanSeg || crashedTmp) &&
             Files.getLastModifiedTime(p).toMillis <= cutoff)
           Files.deleteIfExists(p): Unit
       }

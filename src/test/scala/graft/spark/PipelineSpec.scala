@@ -752,8 +752,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 7200000L)
     F.setLastModifiedTime(P.get(dir, "meta", "seg-99.txt"), old)
+    // crashed mid-write .tmp staging files: aged ones reclaimed, fresh kept
+    F.writeString(P.get(dir, "meta", "snap-77.txt.tmp"), "snapshot\t77\tparent\t1\n")
+    F.setLastModifiedTime(P.get(dir, "meta", "snap-77.txt.tmp"), old)
+    F.writeString(P.get(dir, "meta", "seg-78.txt.tmp"), "file\tx.parquet\n")
     log.removeOrphanFiles(minAgeMs = 3600000L)
     assert(!F.exists(P.get(dir, "meta", "seg-99.txt")), "aged orphan segment reclaimed")
+    assert(!F.exists(P.get(dir, "meta", "snap-77.txt.tmp")), "aged crashed tmp reclaimed")
+    assert(F.exists(P.get(dir, "meta", "seg-78.txt.tmp")), "fresh in-flight tmp kept")
+    F.delete(P.get(dir, "meta", "seg-78.txt.tmp"))
     // LEGACY migration: a pre-round-4 table whose snapshot file lists data
     // files INLINE still reads, and one append commit over it converges the
     // metadata to pure list+segment form with identical content
