@@ -12,8 +12,10 @@ import graft.spark.{ExtractJob, Schemas, Synth}
   *      materialized pages table (parquet on disk, so payload synthesis is NOT
   *      measured) at local[N] and local[N/4] — the sandbox stand-in for the
   *      N-vs-4N-executor scaling criterion (BASELINE.json north_rule; driver
-  *      instruction). Each parallelism gets one warm-up pass (JIT + page cache)
-  *      before the measured pass. Efficiency = (thru_N / thru_N/4) / 4.
+  *      instruction). Each parallelism gets one warm-up pass (JIT + page
+  *      cache) before the measured passes. Efficiency = MEDIAN over the
+  *      interleaved (N, 4N) pass pairs of secN / (4 * sec4N) — see
+  *      [[scalingPair]] for why per-pair, not min-per-level.
   */
 object Bench {
 

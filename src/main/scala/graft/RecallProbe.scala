@@ -140,18 +140,36 @@ object RecallProbe {
       println(f"${""}%31s $nBits%10d ${rec / cQueries.length}%10.3f ${frac / cQueries.length}%12.3f")
     }
 
-    // ---- fidelity cross-check: simulated selection == the real operators ----
+    // ---- fidelity cross-check: simulated selection == the real operators.
+    // Spark's cosineCol rounds each zip_with product to FLOAT before the
+    // double accumulator while TextStats.cosine multiplies in double, so
+    // near-tied candidates at the k boundary can legally swap between the
+    // two — compare SETS and demand any symmetric-difference id be within
+    // 1e-6 cosine of the boundary (a true divergence is a different
+    // CANDIDATE SELECTION, which no rounding explains).
+    def sameTopK(sim: Seq[Long], real: Seq[Long], q: Array[Float], label: String): Unit = {
+      val onlyOne = (sim.toSet diff real.toSet) ++ (real.toSet diff sim.toSet)
+      if (onlyOne.isEmpty) return
+      val byId = vecs.toMap
+      val boundary = TextStats.cosine(byId(sim.last), q)
+      for (id <- onlyOne) {
+        val c = TextStats.cosine(byId(id), q)
+        require(math.abs(c - boundary) < 1e-6,
+          s"$label sim/operator divergence beyond float-tie tolerance: " +
+            s"id $id cosine $c vs boundary $boundary (sim $sim, real $real)")
+      }
+    }
     for ((qid, q) <- queries.take(3)) {
       val cells = Embeddings.probeCells(cents, q, 6).toSet
       val simIvf = topK(vecs.filter { case (id, _) => cells.contains(assign(id)) }, q, k)
       val realIvf = Embeddings.ivfTopK(emb, cents, q, k, nProbe = 6)
         .collect().map(_.getLong(0)).toSeq
-      require(simIvf == realIvf, s"IVF sim/operator divergence on q$qid: $simIvf vs $realIvf")
+      sameTopK(simIvf, realIvf, q, s"IVF q$qid")
       val probes = TextStats.embeddingLshProbes(q).toSet
       val buckets12 = vecs.map { case (id, v) => id -> TextStats.embeddingLshBucket(v) }.toMap
       val simLsh = topK(vecs.filter { case (id, _) => probes.contains(buckets12(id)) }, q, k)
       val realLsh = Embeddings.lshTopK(emb, q, k).collect().map(_.getLong(0)).toSeq
-      require(simLsh == realLsh, s"LSH sim/operator divergence on q$qid: $simLsh vs $realLsh")
+      sameTopK(simLsh, realLsh, q, s"LSH q$qid")
     }
     println("\ncross-check: simulated selection == ivfTopK and lshTopK on 3 queries OK")
     spark.stop()

@@ -337,7 +337,15 @@ object Embeddings {
   def ivfEnsureIndex(embeddings: DataFrame, path: String,
       k: Int, iters: Int = 1): (Array[Array[Float]], Boolean) =
     ivfLoadCentroids(path) match {
-      case Some(cents) => (cents, false)
+      case Some(cents) =>
+        // a hit must actually match the request: an index trained with a
+        // different k silently serving here would hand back the wrong
+        // quantizer (and rebuild-in-place could yank it from a concurrent
+        // reader) — fail loudly, the caller picks a fresh path
+        require(cents.length == k,
+          s"index at $path was trained with k=${cents.length}, requested k=$k" +
+            " — use a different index path (or delete the stale one)")
+        (cents, false)
       case None =>
         val cents = ivfTrain(embeddings, k, iters)
         ivfBuildIndex(embeddings, cents, path)

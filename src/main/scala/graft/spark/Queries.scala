@@ -20,6 +20,19 @@ import graft.kernel.SearchKernels
   */
 object Queries {
 
+  /** Cheap corpus fingerprint for materialized-index cache keys: total size +
+    * newest mtime of the source parquet (a file or a directory of parts),
+    * driver-side stat only. A regenerated fixture at the same path gets a new
+    * stamp, so a surviving /tmp index can never silently serve stale rows.
+    */
+  private def corpusStamp(path: String): String = {
+    val f = new java.io.File(path)
+    val files = if (f.isDirectory) f.listFiles().toSeq.filter(_.isFile) else Seq(f)
+    val (size, mtime) = files.foldLeft((0L, 0L)) { case ((s, m), x) =>
+      (s + x.length(), math.max(m, x.lastModified())) }
+    java.lang.Long.toHexString(size * 1000003L ^ mtime)
+  }
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -889,16 +902,19 @@ object Queries {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0).toArray
-      // the index is keyed by TRAINING PARAMETERS + format version (round 3
-      // keyed it by the centroid VALUES, which forced the two training scans
-      // on every call just to derive the key — the hit path never skipped
-      // work); on key hit the centroids load from the index's sidecar and the
-      // probe below is the only Spark work. Bump indexFormatVersion when the
-      // kernel changes so a stale index can never satisfy the probe.
+      // the index is keyed by TRAINING PARAMETERS + format version + a cheap
+      // CORPUS fingerprint (round 3 keyed it by the centroid VALUES, which
+      // forced the two training scans on every call just to derive the key —
+      // the hit path never skipped work); on key hit the centroids load from
+      // the index's sidecar and the probe below is the only Spark work. The
+      // fingerprint (source file size+mtime, driver-side stat — no scan)
+      // invalidates a surviving /tmp index when the fixture is REGENERATED at
+      // the same path; bump indexFormatVersion when the kernel changes.
       // CWD-independent location: the driver may fork Verify from elsewhere
       val idxBase = sys.props("java.io.tmpdir") + "/graft_ivf_index"
       val dirKey = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val idxName = dirKey + s"_ivf16x1_v${Embeddings.indexFormatVersion}"
+      val idxName = dirKey + s"_ivf16x1_v${Embeddings.indexFormatVersion}_" +
+        corpusStamp(s"$dir/embeddings.parquet")
       val idxPath = s"$idxBase/$idxName"
       val (cents, _) = Embeddings.ivfEnsureIndex(emb, idxPath, k = 16, iters = 1)
       // GC: indexes for this sfDir built by superseded kernels (different
@@ -920,7 +936,8 @@ object Queries {
         .select("embedding").head().getSeq[Float](0).toArray
       val idxBase = sys.props("java.io.tmpdir") + "/graft_lsh_index"
       val dirKey = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-      val idxName = dirKey + s"_lsh12_v${Embeddings.indexFormatVersion}"
+      val idxName = dirKey + s"_lsh12_v${Embeddings.indexFormatVersion}_" +
+        corpusStamp(s"$dir/embeddings.parquet")
       val idxPath = s"$idxBase/$idxName"
       Embeddings.lshBuildIndex(emb, idxPath)
       Embeddings.pruneStaleIndexes(idxBase, dirKey + "_", idxName)

@@ -81,22 +81,24 @@ final class SnapshotLog(tableDir: String) {
   def filesAt(snapshotId: Long): Seq[String] = {
     require(Files.exists(manifestPath(snapshotId)),
       s"snapshot $snapshotId has no manifest under $metaDir")
+    val (segments, inline) = parseList(snapshotId)
+    inline.map(f => root.resolve(f).toString) ++ segments.flatMap(readSegment)
+  }
+
+  /** One read of a snapshot's manifest list: (segment relpaths, legacy inline
+    * file relpaths). Every consumer parses through here — the list is the
+    * per-commit metadata hot spot and must be read once per use, not once per
+    * question asked about it.
+    */
+  private def parseList(snapshotId: Long): (Seq[String], Seq[String]) = {
+    if (!Files.exists(manifestPath(snapshotId))) return (Seq.empty, Seq.empty)
     val lines = Files.readAllLines(manifestPath(snapshotId)).asScala.toSeq
-    val inline = lines.collect {
-      case line if line.startsWith("file\t") =>
-        root.resolve(line.split('\t')(1)).toString
-    }
-    val fromSegments = segmentsAt(snapshotId).flatMap(readSegment)
-    inline ++ fromSegments
+    (lines.collect { case l if l.startsWith("manifest\t") => l.split('\t')(1) },
+      lines.collect { case l if l.startsWith("file\t") => l.split('\t')(1) })
   }
 
   /** The segment files (relative paths) a snapshot's manifest list references. */
-  private def segmentsAt(snapshotId: Long): Seq[String] = {
-    if (!Files.exists(manifestPath(snapshotId))) return Seq.empty
-    Files.readAllLines(manifestPath(snapshotId)).asScala.toSeq.collect {
-      case line if line.startsWith("manifest\t") => line.split('\t')(1)
-    }
-  }
+  private def segmentsAt(snapshotId: Long): Seq[String] = parseList(snapshotId)._1
 
   /** Data files (absolute paths) listed by one immutable segment. */
   private def readSegment(rel: String): Seq[String] = {
@@ -160,16 +162,13 @@ final class SnapshotLog(tableDir: String) {
     val parent = currentSnapshot().getOrElse(-1L)
     require(snapshotId > parent, s"snapshot $snapshotId must be > parent $parent")
     Files.createDirectories(metaDir)
-    val parentSegments: Seq[String] =
-      if (keepParent) currentSnapshot().map(segmentsAt).getOrElse(Seq.empty) else Seq.empty
-    // legacy inline entries (or a pre-segment-format parent): fold them into
-    // the new segment so the table converges to pure-list form in one commit
-    val parentInline: Seq[String] =
-      if (keepParent) currentSnapshot().toSeq.flatMap { id =>
-        Files.readAllLines(manifestPath(id)).asScala.toSeq.collect {
-          case line if line.startsWith("file\t") => line.split('\t')(1)
-        }
-      } else Seq.empty
+    // one read of the parent list yields both its segment pointers and any
+    // legacy inline entries (pre-segment-format parents) — the latter fold
+    // into the new segment so the table converges to pure-list form in one
+    // commit
+    val (parentSegments, parentInline) =
+      if (keepParent && parent >= 0) parseList(parent)
+      else (Seq.empty[String], Seq.empty[String])
     val fresh = stagedFiles(snapshotId).map(p => root.relativize(p).toString)
     val segmentFiles = parentInline ++ fresh
     val segments =
@@ -322,7 +321,15 @@ final class SnapshotLog(tableDir: String) {
       s"minAgeMs must be > 0, got $minAgeMs: the age gate is the only " +
         "protection for a concurrent writer's in-flight staged files")
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val referenced = snapshots().flatMap(filesAt).map(f => canon(Paths.get(f))).toSet
+    // one metadata pass yields both the referenced-file set (data sweep) and
+    // the referenced-segment set (metadata sweep below) — filesAt already
+    // resolves each snapshot's segments, so a second snapshots()/segmentsAt
+    // walk would re-read every list file for nothing
+    val parsed = snapshots().map(parseList)
+    val referenced = parsed.flatMap { case (segs, inline) =>
+      inline.map(f => root.resolve(f).toString) ++ segs.flatMap(readSegment)
+    }.map(f => canon(Paths.get(f))).toSet
+    val referencedSegs = parsed.flatMap(_._1).map(sg => canon(root.resolve(sg))).toSet
     val dataRoot = root.resolve("data")
     if (!Files.isDirectory(dataRoot)) return 0
     var deleted = 0
@@ -345,8 +352,6 @@ final class SnapshotLog(tableDir: String) {
     // to readers, but they are disk residue all the same; the age gate keeps
     // an in-flight writer's fresh tmp safe exactly like staged data files
     if (Files.isDirectory(metaDir)) {
-      val referencedSegs = snapshots().flatMap(segmentsAt)
-        .map(sg => canon(root.resolve(sg))).toSet
       listDir(metaDir)(_.toSeq).foreach { p =>
         val n = p.getFileName.toString
         val orphanSeg = n.startsWith("seg-") && n.endsWith(".txt") &&

@@ -115,15 +115,24 @@ object StreamingStats {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (user: Long, it: Iterator[Event], state: GroupState[SessionsState]) =>
           def flush(open: List[SessionState]): Iterator[Session] = {
-            // emit every session the watermark has sealed (no event can land
-            // within gap of it anymore); keep the rest, timeout on the earliest
+            // emit every session the watermark has STRICTLY passed (last +
+            // gap < wm): an event AT exactly last+gap is still admissible
+            // (not below the watermark) and per the merge rule belongs in
+            // the session — closing on <= would emit it as a split where
+            // sessionizeBatch merges. Keep the rest, timeout on the earliest.
             val wmUs = state.getCurrentWatermarkMs() * 1000L
-            val (closed, kept) = open.partition(s => s.last + gapUs <= wmUs)
+            val (closed, kept) = open.partition(s => s.last + gapUs < wmUs)
             if (kept.nonEmpty) {
               state.update(SessionsState(kept))
               // engine timeouts are ms-granular: ceil so the timeout never
-              // fires BEFORE the µs deadline (a late fire just re-flushes)
-              state.setTimeoutTimestamp((kept.map(_.last).min + gapUs + 999L) / 1000L)
+              // fires BEFORE the µs deadline (a late fire just re-flushes),
+              // and clamp past the current watermark — at the exact-boundary
+              // case above the deadline ms equals the watermark ms, which
+              // setTimeoutTimestamp rejects (and which must re-fire LATER,
+              // once the watermark has strictly passed the deadline)
+              val deadlineMs = (kept.map(_.last).min + gapUs + 999L) / 1000L
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
             } else state.remove()
             closed.iterator.map(s => Session(user, s.start, s.last, s.n))
           }
