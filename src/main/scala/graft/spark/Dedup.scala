@@ -184,6 +184,70 @@ object Dedup {
     (pairs, sigs)
   }
 
+  /** Connected components over a near-dup pair graph — the step that turns
+    * PAIRS into duplicate CLUSTERS so a pipeline keeps one representative
+    * per cluster (pairs alone under-dedup: a ~ b, b ~ c must collapse to one
+    * kept doc even when a ~ c was never emitted). Min-label propagation:
+    * every vertex starts labeled with itself; each round a vertex takes the
+    * min of its own and its neighbors' labels; at fixpoint the label is the
+    * component's min vertex id.
+    *
+    * Scale shape: two shuffles per round (neighbor-min, then a POINTER-JUMP
+    * that replaces each label by its label's label — path compression), both
+    * hash-partitioned on id. Neighbor-min alone needs DIAMETER rounds (a
+    * 10^6-vertex chain = 10^6 shuffles); with pointer jumping the label
+    * distance halves each round, so convergence is O(log diameter) — near-
+    * dup graphs (cliques/stars from LSH buckets) finish in 1-3 rounds and
+    * even a path of 2^20 needs ~20. Each round's labels are
+    * localCheckpoint'd: iterative self-referential plans otherwise stack
+    * lineage until planning itself dominates. Converges exactly (stops when
+    * no label decreased; labels only ever decrease) and FAILS LOUDLY if
+    * `maxIter` is hit first — a silently-unconverged component map would
+    * under-dedup downstream. Result = (id, component) for every vertex that
+    * appears in `edges`.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val bidir = edges.select(col("a").cast("long").as("s"), col("b").cast("long").as("d"))
+      .union(edges.select(col("b").cast("long").as("s"), col("a").cast("long").as("d")))
+      .localCheckpoint(true) // edges reused every round — cut the upstream plan once
+    var labels = bidir.select(col("s").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      // every branch re-aliases its columns: union/self-join over plans that
+      // share a checkpointed ancestor otherwise reuse attribute ids and trip
+      // Catalyst's union-constraint resolution
+      val neighborMin = bidir
+        .join(labels, bidir("s") === labels("id"))
+        .select(col("d").as("id"), col("component").as("component"))
+      val propagated = labels
+        .select(col("id").as("id"), col("component").as("component"))
+        .union(neighborMin)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      // pointer jump: component <- label(component). Every component value is
+      // itself a vertex id (labels are min-folded vertex ids), so the lookup
+      // always hits; min() keeps the invariant that labels only decrease.
+      val jump = propagated.select(col("id").as("cid"), col("component").as("cc"))
+      val next = propagated.join(jump, propagated("component") === jump("cid"))
+        .select(propagated("id"),
+          least(propagated("component"), jump("cc")).as("component"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.select(col("id").as("id"), col("component").as("prev")), Seq("id"))
+        .filter(col("component") < col("prev"))
+        .isEmpty // labels only ever decrease; no decrease anywhere = fixpoint
+      labels = next
+      i += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (graph diameter exceeds 2^maxIter after compression)")
+    labels
+  }
+
   /** Exact n-gram Jaccard for a candidate pair set (verification pass after LSH). */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))

@@ -211,6 +211,20 @@ object Queries {
       """SELECT md5(text) AS fp, CAST(min(doc_id) AS BIGINT) AS keep_id,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+    // t14: min-label-propagation fixpoint == min reachable id, which a
+    // recursive CTE computes as the reachability closure + min aggregate
+    "t14_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        |  WHERE doc_id % 10 < 3 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+        |), ed AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM ed
+        |  UNION
+        |  SELECT ed.b AS id, reach.r FROM ed JOIN reach ON reach.id = ed.a
+        |)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     // t11: md5 hex is bit-identical across engines; shingles are word
     // trigrams joined by one space; range(1, n-1) = indices 1..n-2 (1-based)
     "t11_minhash_twin" ->
@@ -793,6 +807,21 @@ object Queries {
     //   t06 -> t11 (shingle -> per-hash-min signature, md5 family)
     //   t07 -> t12 (banded self-join candidates -> exact Jaccard verify)
     //   t08 -> t13 (bit-vote signature -> block multi-probe -> Hamming)
+    "t14_components" -> ((s, dir) => {
+      // duplicate-CLUSTER formation (P17): connected components via min-label
+      // propagation over a deterministic near-dup edge set — chains of 4
+      // consecutive doc_ids (a~b, b~c must collapse to ONE kept doc even when
+      // a~c was never emitted; pairs alone under-dedup). The DuckDB oracle
+      // replays the same closure with a recursive CTE, so the whole operator
+      // is hash-checked, multi-hop propagation included.
+      val d = docs(s, dir).select(col("doc_id"))
+      val edges = d.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .join(d.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      Dedup.connectedComponents(edges)
+        .select(col("id"), col("component"))
+        .orderBy("id")
+    }),
     "t11_minhash_twin" -> ((s, dir) => {
       // the MinHash SIGNATURE machinery (tokenize -> word-trigram shingles ->
       // per-hash min) under a SQL-PORTABLE hash family: h_j(sh) =

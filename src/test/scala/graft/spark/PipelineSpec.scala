@@ -909,6 +909,38 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b && a.nonEmpty)
   }
 
+  test("connectedComponents equals driver-side union-find on chains, cliques, stars, and a long path") {
+    val sp = spark; import sp.implicits._
+    // deterministic graph mixing every dup-graph shape: LSH cliques, exact-dup
+    // stars, 2-chains, one 30-vertex path (forces many propagation rounds),
+    // and isolated pairs
+    val edges: Seq[(Long, Long)] =
+      (for (c <- 0 until 5; i <- 0 until 4; j <- i + 1 until 4)
+        yield (c * 100L + i, c * 100L + j)) ++          // 5 cliques of 4
+      (for (s <- 0 until 4; leaf <- 1 to 5)
+        yield (1000L + s * 10, 1000L + s * 10 + leaf)) ++ // 4 stars of 6
+      (0 until 30).map(i => (2000L + i, 2001L + i)) ++  // one 31-vertex path
+      Seq((5000L, 5001L), (6000L, 6001L))               // isolated pairs
+    val got = Dedup.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle: driver-side union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = vertices.map(v => v -> find(v)).toMap
+    assert(got == expect,
+      s"diff: ${(got.toSet diff expect.toSet).take(5)} / ${(expect.toSet diff got.toSet).take(5)}")
+    // the 31-vertex path really collapsed to one component
+    assert(got(2030L) == 2000L)
+  }
+
   test("ANN recall@10 >= 0.9 at the operator defaults on a clustered corpus") {
     val sp = spark; import sp.implicits._
     // 16-cluster corpus, the shape real embedding spaces have (RecallProbe
