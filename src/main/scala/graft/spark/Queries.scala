@@ -225,6 +225,43 @@ object Queries {
         |)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // t15: the composed dedup pipeline — 3-level corpus, adjacent-pair
+    // trigram-Jaccard verify (integer threshold: 2*inter >= union), then the
+    // recursive-CTE reachability closure = connectedComponents' fixpoint
+    "t15_dedup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) >= 6
+        |), lvl AS (
+        |  SELECT doc_id AS id, t FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    regexp_replace(t, '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$', '') FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    regexp_replace(regexp_replace(t, '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$', ''),
+        |      '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$', '') FROM base
+        |), tri AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT id, string_split_regex(trim(t), '[ \t\n\x0b\f\r]+') AS w FROM lvl)
+        |), cand AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id + 2000000 FROM base
+        |), ver AS (
+        |  SELECT c.a, c.b FROM cand c
+        |  JOIN tri ta ON ta.id = c.a JOIN tri tb ON tb.id = c.b
+        |  WHERE 2 * len(list_intersect(ta.sh, tb.sh))
+        |    >= len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))
+        |), ed AS (SELECT a, b FROM ver UNION ALL SELECT b AS a, a AS b FROM ver),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM ed
+        |  UNION
+        |  SELECT ed.b AS id, reach.r FROM ed JOIN reach ON reach.id = ed.a
+        |)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
     // t11: md5 hex is bit-identical across engines; shingles are word
     // trigrams joined by one space; range(1, n-1) = indices 1..n-2 (1-based)
     "t11_minhash_twin" ->
@@ -819,6 +856,33 @@ object Queries {
         .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
         .join(d.select(col("doc_id").as("b")), Seq("b"), "left_semi")
       Dedup.connectedComponents(edges)
+        .select(col("id"), col("component"))
+        .orderBy("id")
+    }),
+    "t15_dedup_clusters" -> ((s, dir) => {
+      // the dedup pipeline COMPOSED end-to-end (candidates -> exact-Jaccard
+      // verify -> connected components): a 3-level near-dup chain (doc, doc
+      // minus last word, doc minus two words) where only ADJACENT pairs are
+      // candidates — the cluster {d, d', d''} must still form through
+      // transitivity, the thing pair output alone cannot express. Thresholds
+      // compare 2*|A∩B| >= |A∪B| in exact integers on both engines.
+      val off = 1000000L
+      val dropLast = (c: org.apache.spark.sql.Column) =>
+        regexp_replace(c, """\s+\S+\z""", "")
+      val base = docs(s, dir)
+        .filter(Functions.tokenCountWsUdf(col("text")) >= 6)
+        .select(col("doc_id"), col("text"))
+      val l1 = base.select((col("doc_id") + off).as("doc_id"),
+        dropLast(col("text")).as("text"))
+      val l2 = base.select((col("doc_id") + 2 * off).as("doc_id"),
+        dropLast(dropLast(col("text"))).as("text"))
+      val corpus = base.unionByName(l1).unionByName(l2)
+      val cand = base.select(col("doc_id").as("a"), (col("doc_id") + off).as("b"))
+        .unionByName(base.select((col("doc_id") + off).as("a"),
+          (col("doc_id") + 2 * off).as("b")))
+      val verified = Dedup.verifyJaccard(cand, corpus, "doc_id", "text")
+        .filter(col("jaccard_exact") >= 0.5)
+      Dedup.connectedComponents(verified.select("a", "b"))
         .select(col("id"), col("component"))
         .orderBy("id")
     }),
