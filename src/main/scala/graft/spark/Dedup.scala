@@ -266,11 +266,17 @@ object Dedup {
       idCol: String, textCol: String, offset: Long = 1000000L): DataFrame = {
     val mutated = docs.select(
       (col(idCol) + offset).as(idCol),
-      // drop the last word: strip the final " word" suffix. \z (absolute end)
-      // rather than $: Java's $ also matches BEFORE a final line terminator,
-      // RE2's (the DuckDB oracles' '$') does not — \z makes the two engines
-      // agree even on text ending in a newline
-      regexp_replace(col(textCol), """\s+\S+\z""", "").as(textCol))
+      dropLastWord(col(textCol)).as(textCol))
     docs.select(col(idCol), col(textCol)).unionByName(mutated)
   }
+
+  /** Drop the last word: strip the final " word" suffix. \z (absolute end)
+    * rather than $: Java's $ also matches BEFORE a final line terminator,
+    * RE2's (the DuckDB oracles' '$') does not — \z makes the two engines
+    * agree even on text ending in a newline. ONE definition, shared by the
+    * injected-near-dup corpus and the t15 chained-level corpus, so an
+    * engine-parity fix here can never miss a copy.
+    */
+  def dropLastWord(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, """\s+\S+\z""", "")
 }

@@ -867,15 +867,18 @@ object Queries {
       // transitivity, the thing pair output alone cannot express. Thresholds
       // compare 2*|A∩B| >= |A∪B| in exact integers on both engines.
       val off = 1000000L
-      val dropLast = (c: org.apache.spark.sql.Column) =>
-        regexp_replace(c, """\s+\S+\z""", "")
+      // base filter via wsToks — the SAME tokenization the oracle's
+      // string_split_regex computes (keeps empty boundary elements; Java
+      // String.trim strips more than DuckDB trim, so tokenCountWsUdf counts
+      // a trailing-newline doc one LOWER than the oracle and the two engines
+      // would disagree on which docs enter the pipeline)
       val base = docs(s, dir)
-        .filter(Functions.tokenCountWsUdf(col("text")) >= 6)
+        .filter(size(wsToks(col("text"))) >= 6)
         .select(col("doc_id"), col("text"))
       val l1 = base.select((col("doc_id") + off).as("doc_id"),
-        dropLast(col("text")).as("text"))
+        Dedup.dropLastWord(col("text")).as("text"))
       val l2 = base.select((col("doc_id") + 2 * off).as("doc_id"),
-        dropLast(dropLast(col("text"))).as("text"))
+        Dedup.dropLastWord(Dedup.dropLastWord(col("text"))).as("text"))
       val corpus = base.unionByName(l1).unionByName(l2)
       val cand = base.select(col("doc_id").as("a"), (col("doc_id") + off).as("b"))
         .unionByName(base.select((col("doc_id") + off).as("a"),

@@ -97,7 +97,6 @@ final class SnapshotLog(tableDir: String) {
   private def readSegments(segs: Seq[String]): Seq[String] =
     if (segs.length < 4) segs.flatMap(readSegment)
     else {
-      import scala.jdk.CollectionConverters._
       segs.asJava.parallelStream()
         .map[Seq[String]](sg => readSegment(sg))
         .collect(java.util.stream.Collectors.toList[Seq[String]])
