@@ -78,11 +78,19 @@ final class SnapshotLog(tableDir: String) {
     * delete them). Resolves the snapshot's manifest list to its segments and
     * concatenates their file entries (plus any legacy inline `file` lines).
     */
-  def filesAt(snapshotId: Long): Seq[String] = {
+  def filesAt(snapshotId: Long): Seq[String] =
+    filesWithSizesAt(snapshotId).map(_._1)
+
+  /** Live data files of a snapshot WITH their manifest-recorded sizes (None
+    * for legacy entries written before sizes rode the segments). When every
+    * size is present, [[scan]] plans from the manifest alone — zero
+    * filesystem metadata calls (see [[ManifestFileIndex]]).
+    */
+  def filesWithSizesAt(snapshotId: Long): Seq[(String, Option[Long])] = {
     require(Files.exists(manifestPath(snapshotId)),
       s"snapshot $snapshotId has no manifest under $metaDir")
     val (segments, inline) = parseList(snapshotId)
-    inline.map(f => root.resolve(f).toString) ++ readSegments(segments)
+    inline.map(f => (root.resolve(f).toString, None)) ++ readSegments(segments)
   }
 
   /** Resolve many segments with parallel driver IO (encounter order kept —
@@ -94,12 +102,12 @@ final class SnapshotLog(tableDir: String) {
     * InMemoryFileIndex holds per-file status anyway; [[compact]] is what
     * bounds the segment count.)
     */
-  private def readSegments(segs: Seq[String]): Seq[String] =
+  private def readSegments(segs: Seq[String]): Seq[(String, Option[Long])] =
     if (segs.length < 4) segs.flatMap(readSegment)
     else {
       segs.asJava.parallelStream()
-        .map[Seq[String]](sg => readSegment(sg))
-        .collect(java.util.stream.Collectors.toList[Seq[String]])
+        .map[Seq[(String, Option[Long])]](sg => readSegment(sg))
+        .collect(java.util.stream.Collectors.toList[Seq[(String, Option[Long])]])
         .asScala.toSeq.flatten
     }
 
@@ -118,13 +126,18 @@ final class SnapshotLog(tableDir: String) {
   /** The segment files (relative paths) a snapshot's manifest list references. */
   private def segmentsAt(snapshotId: Long): Seq[String] = parseList(snapshotId)._1
 
-  /** Data files (absolute paths) listed by one immutable segment. */
-  private def readSegment(rel: String): Seq[String] = {
+  /** Data files listed by one immutable segment: (absolute path, recorded
+    * size). Size is the optional third tab field — absent or negative
+    * (legacy / unknown at write time) maps to None.
+    */
+  private def readSegment(rel: String): Seq[(String, Option[Long])] = {
     val p = root.resolve(rel)
     require(Files.exists(p), s"manifest segment $rel missing under $root")
     Files.readAllLines(p).asScala.toSeq.collect {
       case line if line.startsWith("file\t") =>
-        root.resolve(line.split('\t')(1)).toString
+        val parts = line.split('\t')
+        val size = if (parts.length >= 3) parts(2).toLong else -1L
+        (root.resolve(parts(1)).toString, if (size >= 0) Some(size) else None)
     }
   }
 
@@ -187,15 +200,25 @@ final class SnapshotLog(tableDir: String) {
     val (parentSegments, parentInline) =
       if (keepParent && parent >= 0) parseList(parent)
       else (Seq.empty[String], Seq.empty[String])
-    val fresh = stagedFiles(snapshotId).map(p => root.relativize(p).toString)
-    val segmentFiles = parentInline ++ fresh
+    // sizes recorded NOW, while the writer that just produced the staged
+    // files holds them locally — every later scan plans from these instead
+    // of re-stat'ing the filesystem (ManifestFileIndex); legacy inline
+    // carry-overs are stat'ed once here, at their conversion to segment form
+    val fresh = stagedFiles(snapshotId)
+      .map(p => (root.relativize(p).toString, Files.size(p)))
+    val inlineSized = parentInline.map { f =>
+      val sz = try Files.size(root.resolve(f)) catch { case _: java.io.IOException => -1L }
+      (f, sz)
+    }
+    val segmentFiles = inlineSized ++ fresh
     val segments =
       if (segmentFiles.isEmpty) parentSegments
       else {
         val seg = segmentPath(snapshotId)
         val segTmp = metaDir.resolve(s"seg-$snapshotId.txt.tmp")
         Files.writeString(segTmp,
-          segmentFiles.map(f => s"file\t$f").mkString("", "\n", "\n"))
+          segmentFiles.map { case (f, sz) => s"file\t$f\t$sz" }
+            .mkString("", "\n", "\n"))
         Files.move(segTmp, seg, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING) // re-commit after crash: last write wins
         parentSegments :+ root.relativize(seg).toString
@@ -345,7 +368,7 @@ final class SnapshotLog(tableDir: String) {
     // walk would re-read every list file for nothing
     val parsed = snapshots().map(parseList)
     val referenced = parsed.flatMap { case (segs, inline) =>
-      inline.map(f => root.resolve(f).toString) ++ readSegments(segs)
+      inline.map(f => root.resolve(f).toString) ++ readSegments(segs).map(_._1)
     }.map(f => canon(Paths.get(f))).toSet
     val referencedSegs = parsed.flatMap(_._1).map(sg => canon(root.resolve(sg))).toSet
     val dataRoot = root.resolve("data")
@@ -383,6 +406,55 @@ final class SnapshotLog(tableDir: String) {
     deleted
   }
 
+  /** Incremental read: the data files ADDED strictly after `fromSnapshot`,
+    * up to and including `toSnapshot` — the Iceberg incremental-append scan
+    * analog, what a downstream pipeline tails instead of re-reading the
+    * table (at 100 TB, reprocessing the whole corpus because one batch
+    * landed is the failure mode this exists to prevent). Resolution is pure
+    * metadata: the child's segment list minus the ancestor's (segments are
+    * immutable and carried by reference, so set difference IS the appended
+    * data; a replace commit breaks the lineage and fails loudly — its rows
+    * are rewrites, not appends, and silently returning them would
+    * double-count every carried-over row).
+    */
+  def filesAddedBetween(fromSnapshot: Long, toSnapshot: Long): Seq[String] = {
+    require(fromSnapshot <= toSnapshot,
+      s"fromSnapshot $fromSnapshot > toSnapshot $toSnapshot")
+    if (fromSnapshot == toSnapshot) return Seq.empty
+    // verify lineage: walking parents from `to` must reach `from` without
+    // crossing a replace (a commit whose list drops its parent's segments)
+    val (toSegs, toInline) = parseList(toSnapshot)
+    require(Files.exists(manifestPath(toSnapshot)),
+      s"snapshot $toSnapshot has no manifest under $metaDir")
+    require(toInline.isEmpty,
+      s"snapshot $toSnapshot holds legacy inline entries — incremental " +
+        "diff needs the segment-list format (one append commit migrates it)")
+    val (fromSegs, _) = parseList(fromSnapshot)
+    require(Files.exists(manifestPath(fromSnapshot)),
+      s"snapshot $fromSnapshot has no manifest under $metaDir")
+    val fromSet = fromSegs.toSet
+    require(fromSet.subsetOf(toSegs.toSet),
+      s"snapshot $toSnapshot does not carry $fromSnapshot's segments — a " +
+        "replace commit intervened; incremental append diff is undefined " +
+        "across a table rewrite (re-read the full snapshot instead)")
+    readSegments(toSegs.filterNot(fromSet)).map(_._1)
+  }
+
+  /** Scan only the rows appended after `fromSnapshot` (see
+    * [[filesAddedBetween]]); `toSnapshot` defaults to the current one.
+    */
+  def scanIncremental(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      fromSnapshot: Long,
+      toSnapshot: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    val to = toSnapshot.orElse(currentSnapshot()).getOrElse(
+      throw new IllegalArgumentException("table has no committed snapshot"))
+    val files = filesAddedBetween(fromSnapshot, to)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(files: _*)
+  }
+
   /** Abort a staged (uncommitted) snapshot: delete its data directory. */
   def abort(snapshotId: Long): Unit = {
     val d = dataDir(snapshotId)
@@ -394,16 +466,43 @@ final class SnapshotLog(tableDir: String) {
 
   /** Scan a snapshot as a DataFrame (empty-but-typed when no commit).
     * `asOf = Some(id)` time-travels to any previously committed snapshot.
+    *
+    * When the manifest carries a size for every file (all post-round-4
+    * commits), the plan is built over a [[ManifestFileIndex]] — zero
+    * filesystem metadata calls at planning time and an exact `sizeInBytes`
+    * for the optimizer; a legacy manifest (any size missing) falls back to
+    * `spark.read.parquet`, whose InMemoryFileIndex re-stats each path.
     */
   def scan(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       asOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
-    val files = asOf match {
-      case Some(id) => filesAt(id)
-      case None => currentFiles()
+    val entries = asOf.orElse(currentSnapshot()) match {
+      case Some(id) => filesWithSizesAt(id)
+      case None => Seq.empty
     }
-    if (files.isEmpty)
+    if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(files: _*)
+    else if (entries.forall(_._2.isDefined))
+      manifestScan(spark, schema, entries.map { case (p, s) => (p, s.get) })
+    else spark.read.schema(schema).parquet(entries.map(_._1): _*)
+  }
+
+  /** Plan a parquet scan over manifest-listed files without touching the
+    * filesystem: HadoopFsRelation over a [[ManifestFileIndex]] (the same
+    * relation `spark.read.parquet` builds, minus its driver-side listing).
+    * Pushdown/pruning are unaffected — they live in the format below.
+    */
+  private def manifestScan(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[(String, Long)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val relation = HadoopFsRelation(
+      location = new ManifestFileIndex(tableDir, files),
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.GraftShim.ofRows(spark, LogicalRelation(relation, false))
   }
 }

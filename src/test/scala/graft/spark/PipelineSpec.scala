@@ -725,6 +725,79 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.scan(spark, rows.schema).count() == 300)
   }
 
+  test("scan plans from the manifest: ManifestFileIndex, exact sizeInBytes, no filesystem listing") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = tmpDir("manifest_scan")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(500).select(col("id"), (col("id") % 7).as("v"))
+    rows.filter(col("id") < 250).repartition(4)
+      .write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    rows.filter(col("id") >= 250).repartition(4)
+      .write.mode("overwrite").parquet(log.stageDataDir(1L))
+    log.commit(1L)
+    val df = log.scan(spark, rows.schema)
+    // the relation's file index is manifest-fed, and its sizeInBytes equals
+    // the exact sum of the committed files (what broadcast decisions see)
+    val locations = df.queryExecution.optimizedPlan.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) => fs.location
+    }
+    assert(locations.nonEmpty && locations.head.isInstanceOf[ManifestFileIndex],
+      s"scan must plan through ManifestFileIndex, got $locations")
+    val expectBytes = log.currentFiles()
+      .map(f => java.nio.file.Files.size(java.nio.file.Paths.get(f))).sum
+    assert(locations.head.sizeInBytes == expectBytes)
+    // correctness: content identical to a plain parquet read of the same files
+    val direct = spark.read.schema(rows.schema)
+      .parquet(log.currentFiles(): _*).orderBy("id").collect().toSeq
+    assert(df.orderBy("id").collect().toSeq == direct)
+    assert(df.count() == 500)
+    // filter + projection still push into the parquet scan below the index
+    val plan = df.filter(col("v") === 3).select("id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull"),
+      s"pushdown must survive the custom index:\n${plan.take(1500)}")
+    // a legacy manifest (inline entries, no sizes) falls back to the listing
+    // path but reads the same rows (covered by the migration test's scans)
+  }
+
+  test("scanIncremental: reads exactly the rows appended between two snapshots; replace breaks lineage loudly") {
+    val dir = tmpDir("incremental")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(300).select(col("id"), (col("id") % 7).as("v"))
+    rows.filter(col("id") < 100).repartition(4)
+      .write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    rows.filter(col("id") >= 100 && col("id") < 200).repartition(4)
+      .write.mode("overwrite").parquet(log.stageDataDir(1L))
+    log.commit(1L)
+    rows.filter(col("id") >= 200).repartition(4)
+      .write.mode("overwrite").parquet(log.stageDataDir(2L))
+    log.commit(2L)
+    // tail from snapshot 0: exactly the two appended batches, no re-read
+    val inc = log.scanIncremental(spark, rows.schema, fromSnapshot = 0L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(inc == (100L until 300L).toSet, s"got ${inc.size} rows")
+    // bounded window (0, 1]: only batch 1
+    val win = log.scanIncremental(spark, rows.schema, 0L, Some(1L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(win == (100L until 200L).toSet)
+    // from == to -> empty but typed
+    assert(log.scanIncremental(spark, rows.schema, 2L).isEmpty)
+    // a replace commit breaks append lineage: the diff must FAIL, not
+    // silently double-count the rewritten carry-over rows
+    rows.repartition(4).write.mode("overwrite").parquet(log.stageDataDir(3L))
+    log.commitReplace(3L)
+    intercept[IllegalArgumentException](log.filesAddedBetween(1L, 3L))
+    // but tailing PAST the replace works again from the replace snapshot
+    rows.limit(10).select((col("id") + 1000).as("id"), col("v")).repartition(2)
+      .write.mode("overwrite").parquet(log.stageDataDir(4L))
+    log.commit(4L)
+    val after = log.scanIncremental(spark, rows.schema, 3L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(after == (1000L until 1010L).toSet)
+  }
+
   test("manifest-list crash recovery: segment-without-list retries cleanly; legacy inline format migrates") {
     import java.nio.file.{Files => F, Paths => P}
     val dir = tmpDir("manifest_crash")
