@@ -228,7 +228,13 @@ final class SnapshotLog(tableDir: String) {
         segments.map(sg => s"manifest\t$sg")
     val tmp = metaDir.resolve(s"snap-$snapshotId.txt.tmp")
     Files.writeString(tmp, lines.mkString("\n") + "\n")
-    Files.move(tmp, manifestPath(snapshotId), StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING: a crash BETWEEN this move and the pointer swap leaves
+    // snap-<id>.txt in place while the table still reads as the parent; the
+    // retry of commit(id) must overwrite that residue and complete, not die
+    // on FileAlreadyExists in a crash loop (id allocation is single-writer,
+    // so the only thing ever replaced is this writer's own crashed attempt)
+    Files.move(tmp, manifestPath(snapshotId), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     val ptrTmp = metaDir.resolve("current.tmp")
     Files.writeString(ptrTmp, snapshotId.toString)
     Files.move(ptrTmp, currentPtr, StandardCopyOption.ATOMIC_MOVE,

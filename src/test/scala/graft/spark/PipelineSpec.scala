@@ -759,6 +759,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"pushdown must survive the custom index:\n${plan.take(1500)}")
     // a legacy manifest (inline entries, no sizes) falls back to the listing
     // path but reads the same rows (covered by the migration test's scans)
+    // schema evolution: a scan with an added nullable column reads old files
+    // with nulls — the manifest-fed relation honors the declared schema like
+    // spark.read.schema does
+    val evolved = org.apache.spark.sql.types.StructType(rows.schema.fields :+
+      org.apache.spark.sql.types.StructField("added",
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val ev = log.scan(spark, evolved)
+    assert(ev.count() == 500)
+    assert(ev.filter(col("added").isNull).count() == 500)
   }
 
   test("scanIncremental: reads exactly the rows appended between two snapshots; replace breaks lineage loudly") {
@@ -820,6 +829,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.filesAt(1L).size == log.filesAt(1L).distinct.size)
     assert(!log.filesAt(1L).exists(_.contains("garbage")),
       "retried commit must overwrite the crashed segment")
+    // crash AFTER the manifest-list move but BEFORE the pointer swap: the
+    // table still reads as the previous snapshot, and retrying the commit
+    // must overwrite the residual list and complete (round 4 pre-fix: the
+    // non-replacing ATOMIC_MOVE threw FileAlreadyExists — a crash loop)
+    rows.limit(20).repartition(2)
+      .write.mode("overwrite").parquet(log.stageDataDir(2L))
+    F.copy(P.get(dir, "meta", "snap-1.txt"), P.get(dir, "meta", "snap-2.txt"))
+    assert(log.currentSnapshot().contains(1L), "pointer not yet swapped")
+    log.commit(2L)
+    assert(log.currentSnapshot().contains(2L))
+    assert(log.scan(spark, rows.schema).count() == 220)
     // an ORPHANED segment (id never retried) ages out via removeOrphanFiles
     F.writeString(P.get(dir, "meta", "seg-99.txt"), "file\tgarbage/stale.parquet\n")
     val old = java.nio.file.attribute.FileTime.fromMillis(
