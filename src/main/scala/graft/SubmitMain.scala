@@ -41,7 +41,8 @@ object SubmitMain {
         |  compact <tableDir> [targetFiles=128]
         |  orphans <tableDir> [minAgeHours=1]
         |  lsh-index <embeddingsParquet> <indexDir>
-        |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]""".stripMargin)
+        |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]
+        |  repair-metrics <tableDir>""".stripMargin)
     sys.exit(2)
   }
 
@@ -66,7 +67,7 @@ object SubmitMain {
   def main(args: Array[String]): Unit = {
     // compact's targetFiles is optional; every other subcommand needs 3 args
     val minArgs =
-      if (args.headOption.exists(Set("compact", "orphans"))) 2 else 3
+      if (args.headOption.exists(Set("compact", "orphans", "repair-metrics"))) 2 else 3
     if (args.length < minArgs) usage()
     // pure-filesystem maintenance commands skip SparkSession startup — they
     // touch no Spark API and should stay cheap for cron-style invocation
@@ -141,6 +142,13 @@ object SubmitMain {
             case Some(id) => println(s"compacted $tableDir into <= $target files (snapshot $id)")
             case None => println(s"$tableDir already at or under $target files; no-op")
           }
+        case "repair-metrics" =>
+          // lineage backfill: a crash between snapshot commit and metrics
+          // append leaves a committed snapshot with no lineage row; re-derive
+          // from table metadata (wall_ms = -1 marks backfilled rows)
+          val repaired = ExtractJob.backfillMetrics(spark, args(1))
+          if (repaired.isEmpty) println("metrics complete; nothing to repair")
+          else println(s"backfilled lineage for snapshots ${repaired.mkString(", ")}")
         case "lsh-index" =>
           // materialize the ANN serving index (P7): bucket-partitioned, so a
           // 13-probe query reads 13 directories, not the corpus. Idempotent

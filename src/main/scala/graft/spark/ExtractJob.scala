@@ -157,4 +157,43 @@ object ExtractJob {
   /** Read the extracted table (current snapshot). */
   def readExtracted(spark: SparkSession, tableDir: String): DataFrame =
     new SnapshotLog(tableDir).scan(spark, Schemas.extractedSchema)
+
+  /** Re-derive lineage rows for committed snapshots MISSING from the metrics
+    * table — run() commits the snapshot before appending metrics (the commit
+    * must never depend on a second write landing), so a crash in between
+    * leaves a committed snapshot with no lineage row and the resume rerun
+    * (a no-op) never writes it. Everything needed is re-derivable from table
+    * metadata: the snapshot's own rows are its segment-set difference vs its
+    * parent (the incremental scan; a replace commit's lineage is its full
+    * content). Backfilled rows carry wall_ms = -1 (the wall time died with
+    * the crashed driver). Idempotent; returns the snapshots repaired.
+    */
+  def backfillMetrics(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val log = new SnapshotLog(tableDir)
+    val metricsPath = s"$tableDir/metrics"
+    val have: Set[Long] =
+      if (!new java.io.File(metricsPath).isDirectory) Set.empty
+      else spark.read.parquet(metricsPath)
+        .select("snapshot_id").distinct().collect().map(_.getLong(0)).toSet
+    val missing = log.snapshots().filterNot(have)
+    missing.foreach { id =>
+      val parent = log.parentOf(id)
+      val files =
+        try { if (parent < 0) log.filesAt(id) else log.filesAddedBetween(parent, id) }
+        catch { case _: IllegalArgumentException => log.filesAt(id) } // replace commit
+      if (files.nonEmpty) {
+        spark.read.schema(Schemas.extractedSchema).parquet(files: _*)
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("doc_count"),
+            sum(col("n_bytes")).as("byte_count"),
+            expr("bit_xor(checksum)").as("checksum"))
+          .select(
+            lit(id).as("snapshot_id"), col("bucket"), col("doc_count"),
+            col("byte_count"), col("checksum"), lit(-1L).as("wall_ms"))
+          .write.mode("append").parquet(metricsPath)
+      }
+    }
+    missing
+  }
 }

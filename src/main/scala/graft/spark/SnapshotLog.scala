@@ -141,6 +141,18 @@ final class SnapshotLog(tableDir: String) {
     }
   }
 
+  /** The parent snapshot id recorded in a snapshot's manifest header
+    * (-1 for the first commit).
+    */
+  def parentOf(snapshotId: Long): Long = {
+    require(Files.exists(manifestPath(snapshotId)),
+      s"snapshot $snapshotId has no manifest under $metaDir")
+    val header = Files.readAllLines(manifestPath(snapshotId)).asScala
+      .find(_.startsWith("snapshot\t"))
+      .getOrElse(sys.error(s"snapshot $snapshotId manifest missing header"))
+    header.split('\t')(3).toLong
+  }
+
   /** All committed snapshot ids, ascending (the table's history). */
   def snapshots(): Seq[Long] =
     if (!Files.isDirectory(metaDir)) Seq.empty

@@ -770,6 +770,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ev.filter(col("added").isNull).count() == 500)
   }
 
+  test("backfillMetrics: re-derives lineage for a snapshot whose metrics append died with the driver") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("backfill")
+    val half = spark.createDataset(fixture.take(corpusSize / 2))
+    val all = spark.createDataset(fixture)
+    ExtractJob.run(spark, half, dir, 8) // snapshot 0
+    ExtractJob.run(spark, all, dir, 8)  // snapshot 1 (append)
+    val before = spark.read.parquet(s"$dir/metrics")
+      .select("snapshot_id", "bucket", "doc_count", "byte_count", "checksum")
+      .orderBy("snapshot_id", "bucket").collect().toSeq
+    // simulate the crash window: commit landed, metrics append did not —
+    // drop snapshot 1's lineage rows entirely
+    val kept = spark.read.parquet(s"$dir/metrics").filter(col("snapshot_id") === 0L)
+      .collect().toSeq
+    val metricsSchema = spark.read.parquet(s"$dir/metrics").schema
+    spark.createDataFrame(spark.sparkContext.parallelize(kept), metricsSchema)
+      .write.mode("overwrite").parquet(s"$dir/metrics")
+    val repaired = ExtractJob.backfillMetrics(spark, dir)
+    assert(repaired == Seq(1L), s"got $repaired")
+    val after = spark.read.parquet(s"$dir/metrics")
+      .select("snapshot_id", "bucket", "doc_count", "byte_count", "checksum")
+      .orderBy("snapshot_id", "bucket").collect().toSeq
+    assert(after == before, "backfilled lineage must equal the original rows")
+    // wall_ms marks the backfill (-1); originals keep theirs
+    assert(spark.read.parquet(s"$dir/metrics")
+      .filter(col("snapshot_id") === 1L && col("wall_ms") === -1L).count() > 0)
+    // idempotent: nothing left to repair
+    assert(ExtractJob.backfillMetrics(spark, dir).isEmpty)
+  }
+
   test("scanIncremental: reads exactly the rows appended between two snapshots; replace breaks lineage loudly") {
     val dir = tmpDir("incremental")
     val log = new SnapshotLog(dir)
