@@ -219,6 +219,47 @@ class OcrSpec extends AnyFunSuite {
 class ExtractSpec extends AnyFunSuite {
   import Extract._
 
+  test("extract totality fuzz: arbitrary and corrupted payloads never throw, always deterministic") {
+    // C4's claim is TOTALITY — any payload yields a row, never an executor-
+    // killing throw. Seeded fuzz over (a) random bytes, (b) valid payloads
+    // of every kind with truncation, (c) valid payloads with bit flips —
+    // the corruption shapes object-store reads actually produce. Each input
+    // runs twice: same Result both times (determinism is what makes retry /
+    // resume / force-re-extract byte-stable).
+    val rnd = new scala.util.Random(1234)
+    val valid: Seq[Array[Byte]] = Seq(
+      graft.spark.Synth.buildHtml(7L, "alpha beta gamma delta epsilon pages"),
+      graft.spark.Synth.buildPdfDigital(7L, "alpha beta gamma delta epsilon pages"),
+      graft.spark.Synth.buildPdfScanned(7L, "alpha beta gamma", noise = true),
+      graft.spark.Synth.buildRaster(7L, "alpha beta", noise = false))
+    var checked = 0
+    def probe(payload: Array[Byte]): Unit = {
+      val a = Extract.extract(payload, null)
+      val b = Extract.extract(payload, null)
+      assert(a == b, s"non-deterministic result on ${payload.take(16).toSeq}")
+      assert(a.pages != null && a.kind.nonEmpty)
+      checked += 1
+    }
+    for (_ <- 1 to 120) { // random garbage, 0..4KB
+      val len = rnd.nextInt(4096)
+      val garbage = new Array[Byte](len)
+      rnd.nextBytes(garbage)
+      probe(garbage)
+    }
+    for (v <- valid; _ <- 1 to 30) { // truncations of real payloads
+      probe(v.take(rnd.nextInt(v.length + 1)))
+    }
+    for (v <- valid; _ <- 1 to 30) { // bit flips in real payloads
+      val mutated = v.clone()
+      for (_ <- 0 to rnd.nextInt(8)) {
+        val i = rnd.nextInt(mutated.length)
+        mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      probe(mutated)
+    }
+    assert(checked == 120 + 2 * 4 * 30)
+  }
+
   test("sniffer dispatch: html / pdf digital / pdf scanned / raster / empty") {
     assert(sniff("<html><body>x</body></html>".getBytes(UTF_8)) == KindHtml)
     assert(sniff("  \n <!DOCTYPE html><p>y</p>".getBytes(UTF_8)) == KindHtml)
