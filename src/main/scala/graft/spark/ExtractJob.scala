@@ -141,7 +141,19 @@ object ExtractJob {
     // A3 lineage: per-bucket doc/byte counts + order-insensitive checksum
     // (bit_xor of per-row xxhash64 — partition-internal order cannot matter)
     val wallMs = (System.nanoTime() - t0) / 1000000L
-    val metrics = spark.read.schema(Schemas.extractedSchema).parquet(stage)
+    lineageRows(spark.read.schema(Schemas.extractedSchema).parquet(stage),
+      snapshotId, wallMs)
+      .write.mode("append").parquet(s"$tableDir/metrics")
+    Some(snapshotId)
+  }
+
+  /** The per-bucket lineage aggregation — ONE definition shared by run()'s
+    * organic append and [[backfillMetrics]]' repair, so the two row shapes
+    * can never drift field-by-field.
+    */
+  private def lineageRows(extracted: DataFrame, snapshotId: Long,
+      wallMs: Long): DataFrame =
+    extracted
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("doc_count"),
@@ -150,9 +162,6 @@ object ExtractJob {
       .select(
         lit(snapshotId).as("snapshot_id"), col("bucket"), col("doc_count"),
         col("byte_count"), col("checksum"), lit(wallMs).as("wall_ms"))
-    metrics.write.mode("append").parquet(s"$tableDir/metrics")
-    Some(snapshotId)
-  }
 
   /** Read the extracted table (current snapshot). */
   def readExtracted(spark: SparkSession, tableDir: String): DataFrame =
@@ -175,25 +184,36 @@ object ExtractJob {
       if (!new java.io.File(metricsPath).isDirectory) Set.empty
       else spark.read.parquet(metricsPath)
         .select("snapshot_id").distinct().collect().map(_.getLong(0)).toSet
-    val missing = log.snapshots().filterNot(have)
-    missing.foreach { id =>
+    // POINTER-BOUNDED: a residual manifest past the current pointer is a
+    // crashed writer's in-flight attempt (the retryable pre-swap window),
+    // not a committed snapshot — backfilling it would duplicate lineage the
+    // moment that writer's retry commits for real
+    val current = log.currentSnapshot().getOrElse(-1L)
+    val committed = log.snapshots().filter(_ <= current)
+    val missing = committed.filterNot(have)
+    missing.flatMap { id =>
       val parent = log.parentOf(id)
-      val files =
-        try { if (parent < 0) log.filesAt(id) else log.filesAddedBetween(parent, id) }
-        catch { case _: IllegalArgumentException => log.filesAt(id) } // replace commit
-      if (files.nonEmpty) {
-        spark.read.schema(Schemas.extractedSchema).parquet(files: _*)
-          .groupBy(col("bucket"))
-          .agg(
-            count(lit(1)).as("doc_count"),
-            sum(col("n_bytes")).as("byte_count"),
-            expr("bit_xor(checksum)").as("checksum"))
-          .select(
-            lit(id).as("snapshot_id"), col("bucket"), col("doc_count"),
-            col("byte_count"), col("checksum"), lit(-1L).as("wall_ms"))
-          .write.mode("append").parquet(metricsPath)
+      val files: Option[Seq[String]] =
+        if (parent < 0) Some(log.filesAt(id)) // first commit: content = lineage
+        else if (log.isAppendOf(id, parent)) Some(log.filesAddedBetween(parent, id))
+        else if (log.snapshots().contains(parent) || log.isSelfContained(id))
+          // replace / legacy-migration commit: its full content IS its
+          // lineage — decidable structurally even with the parent expired
+          // (a replace references only its own segment)
+          Some(log.filesAt(id))
+        else None
+        // append snapshot with an EXPIRED parent: its own rows are no longer
+        // attributable (the diff needs the parent's list) — skip rather than
+        // write lineage silently inflated with the parent's rows
+      files match {
+        case Some(fs) if fs.nonEmpty =>
+          lineageRows(
+            spark.read.schema(Schemas.extractedSchema).parquet(fs: _*),
+            id, wallMs = -1L)
+            .write.mode("append").parquet(metricsPath)
+          Some(id) // only ids actually written count as repaired
+        case _ => None
       }
     }
-    missing
   }
 }

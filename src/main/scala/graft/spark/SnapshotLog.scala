@@ -243,8 +243,18 @@ final class SnapshotLog(tableDir: String) {
     // REPLACE_EXISTING: a crash BETWEEN this move and the pointer swap leaves
     // snap-<id>.txt in place while the table still reads as the parent; the
     // retry of commit(id) must overwrite that residue and complete, not die
-    // on FileAlreadyExists in a crash loop (id allocation is single-writer,
-    // so the only thing ever replaced is this writer's own crashed attempt)
+    // on FileAlreadyExists in a crash loop. Replacing is safe because only
+    // our own crashed attempt can be there: a manifest from a writer that
+    // COMPLETED id would have swapped the pointer, making our parent read id
+    // itself and the monotonic require above fail first. Belt-and-braces,
+    // refuse a residue whose recorded parent differs from ours — that is a
+    // foreign writer's un-pointed manifest, not our retry.
+    if (Files.exists(manifestPath(snapshotId))) {
+      val residueParent = parentOf(snapshotId)
+      require(residueParent == parent,
+        s"snap-$snapshotId exists with parent $residueParent, ours is $parent" +
+          " — refusing to overwrite another writer's manifest")
+    }
     Files.move(tmp, manifestPath(snapshotId), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     val ptrTmp = metaDir.resolve("current.tmp")
@@ -424,6 +434,33 @@ final class SnapshotLog(tableDir: String) {
     deleted
   }
 
+  /** True iff `child` is a pure APPEND over `parent`: both manifests exist
+    * in segment-list form and the child carries every parent segment by
+    * reference. The structural test [[filesAddedBetween]]'s preconditions
+    * reduce to — callers branch on THIS, never on exception types (a replace
+    * commit, a legacy-inline migration, and an expired parent are three
+    * different situations that all make a segment diff meaningless).
+    */
+  def isAppendOf(child: Long, parent: Long): Boolean = {
+    if (!Files.exists(manifestPath(child)) ||
+        !Files.exists(manifestPath(parent))) return false
+    val (childSegs, childInline) = parseList(child)
+    val (parentSegs, parentInline) = parseList(parent)
+    childInline.isEmpty && parentInline.isEmpty &&
+      parentSegs.toSet.subsetOf(childSegs.toSet)
+  }
+
+  /** True iff every file the snapshot references was written AT its own
+    * commit (its list points only at `seg-<id>`): the structural signature
+    * of a replace or first commit, whose full content is therefore its own
+    * lineage even when the parent's manifest has been expired.
+    */
+  def isSelfContained(snapshotId: Long): Boolean = {
+    val (segs, inline) = parseList(snapshotId)
+    inline.isEmpty && segs.nonEmpty &&
+      segs.forall(_.endsWith(s"seg-$snapshotId.txt"))
+  }
+
   /** Incremental read: the data files ADDED strictly after `fromSnapshot`,
     * up to and including `toSnapshot` — the Iceberg incremental-append scan
     * analog, what a downstream pipeline tails instead of re-reading the
@@ -447,9 +484,14 @@ final class SnapshotLog(tableDir: String) {
     require(toInline.isEmpty,
       s"snapshot $toSnapshot holds legacy inline entries — incremental " +
         "diff needs the segment-list format (one append commit migrates it)")
-    val (fromSegs, _) = parseList(fromSnapshot)
     require(Files.exists(manifestPath(fromSnapshot)),
       s"snapshot $fromSnapshot has no manifest under $metaDir")
+    val (fromSegs, fromInline) = parseList(fromSnapshot)
+    require(fromInline.isEmpty,
+      s"snapshot $fromSnapshot holds legacy inline entries — its files were " +
+        "folded into the child's segment at migration, so a segment diff " +
+        "would return the whole carried-over corpus as 'added' (re-read the " +
+        "full snapshot instead)")
     val fromSet = fromSegs.toSet
     require(fromSet.subsetOf(toSegs.toSet),
       s"snapshot $toSnapshot does not carry $fromSnapshot's segments — a " +
@@ -517,7 +559,13 @@ final class SnapshotLog(tableDir: String) {
     val relation = HadoopFsRelation(
       location = new ManifestFileIndex(tableDir, files),
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
-      dataSchema = schema,
+      // nullable-normalized: DataSource.resolveRelation does the same (its
+      // asNullable is private[spark]), so the manifest path and the
+      // spark.read fallback expose ONE nullability surface — and a corrupt
+      // file smuggling a null into a declared non-null column surfaces as a
+      // null, not as wrong codegen
+      dataSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f => f.copy(nullable = true))),
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)

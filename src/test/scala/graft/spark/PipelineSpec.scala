@@ -865,11 +865,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // non-replacing ATOMIC_MOVE threw FileAlreadyExists — a crash loop)
     rows.limit(20).repartition(2)
       .write.mode("overwrite").parquet(log.stageDataDir(2L))
-    F.copy(P.get(dir, "meta", "snap-1.txt"), P.get(dir, "meta", "snap-2.txt"))
+    // a real crashed attempt of commit(2) records parent 1 in its header
+    F.writeString(P.get(dir, "meta", "snap-2.txt"),
+      "snapshot\t2\tparent\t1\nmanifest\tmeta/seg-1.txt\n")
     assert(log.currentSnapshot().contains(1L), "pointer not yet swapped")
     log.commit(2L)
     assert(log.currentSnapshot().contains(2L))
     assert(log.scan(spark, rows.schema).count() == 220)
+    // a FOREIGN un-pointed manifest (different recorded parent) is refused,
+    // never overwritten — that would be another writer's commit in flight
+    rows.limit(5).repartition(1)
+      .write.mode("overwrite").parquet(log.stageDataDir(3L))
+    F.writeString(P.get(dir, "meta", "snap-3.txt"),
+      "snapshot\t3\tparent\t0\nmanifest\tmeta/seg-1.txt\n")
+    intercept[IllegalArgumentException](log.commit(3L))
+    F.delete(P.get(dir, "meta", "snap-3.txt"))
+    log.abort(3L)
     // an ORPHANED segment (id never retried) ages out via removeOrphanFiles
     F.writeString(P.get(dir, "meta", "seg-99.txt"), "file\tgarbage/stale.parquet\n")
     val old = java.nio.file.attribute.FileTime.fromMillis(
