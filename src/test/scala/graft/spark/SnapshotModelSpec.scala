@@ -54,6 +54,14 @@ class SnapshotModelSpec extends AnyFunSuite with BeforeAndAfterAll {
           log.commit(id)
           current = (current ++ fresh).sorted
           history += id -> current
+          // incremental invariant: the appended rows ARE the incremental read
+          val parent = log.parentOf(id)
+          if (parent >= 0 && log.isAppendOf(id, parent)) {
+            val inc = log.scanIncremental(spark, schema, parent, Some(id))
+              .select("id").collect().map(_.getLong(0)).toSeq.sorted
+            assert(inc == fresh.toSeq.sorted,
+              s"step $step: scanIncremental($parent, $id) != appended rows")
+          }
         case 4 => // replace commit (force re-extract shape)
           val n = 1 + rnd.nextInt(15)
           val fresh = (nextId until nextId + n)
