@@ -42,7 +42,8 @@ object SubmitMain {
         |  orphans <tableDir> [minAgeHours=1]
         |  lsh-index <embeddingsParquet> <indexDir>
         |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]
-        |  repair-metrics <tableDir>""".stripMargin)
+        |  repair-metrics <tableDir>
+        |  tail    <tableDir> <fromSnapshot> <outDir>""".stripMargin)
     sys.exit(2)
   }
 
@@ -65,9 +66,12 @@ object SubmitMain {
   }
 
   def main(args: Array[String]): Unit = {
-    // compact's targetFiles is optional; every other subcommand needs 3 args
-    val minArgs =
-      if (args.headOption.exists(Set("compact", "orphans", "repair-metrics"))) 2 else 3
+    // compact's targetFiles is optional; tail needs 4 args; the rest 3
+    val minArgs = args.headOption match {
+      case Some("compact") | Some("orphans") | Some("repair-metrics") => 2
+      case Some("tail") => 4
+      case _ => 3
+    }
     if (args.length < minArgs) usage()
     // pure-filesystem maintenance commands skip SparkSession startup — they
     // touch no Spark API and should stay cheap for cron-style invocation
@@ -142,6 +146,17 @@ object SubmitMain {
             case Some(id) => println(s"compacted $tableDir into <= $target files (snapshot $id)")
             case None => println(s"$tableDir already at or under $target files; no-op")
           }
+        case "tail" =>
+          // incremental read (C12): write ONLY the rows appended after
+          // <fromSnapshot> — what a downstream pipeline consumes instead of
+          // re-reading the table because one batch landed; fails loudly
+          // across a replace commit (append diff undefined over a rewrite)
+          val Array(_, tableDir, fromStr, outDir) = args.take(4)
+          val log = new SnapshotLog(tableDir)
+          val inc = log.scanIncremental(spark, Schemas.extractedSchema, fromStr.toLong)
+          val n = inc.count()
+          inc.write.mode("overwrite").parquet(outDir)
+          println(s"tailed $n rows appended after snapshot $fromStr -> $outDir")
         case "repair-metrics" =>
           // lineage backfill: a crash between snapshot commit and metrics
           // append leaves a committed snapshot with no lineage row; re-derive
