@@ -192,6 +192,14 @@ object Queries {
         |      ORDER BY ts, event_id) AS rn
         |  FROM events
         |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // a09: exact continuous quantiles — both engines interpolate linearly at
+    // rank p*(n-1), so permille-floored values match
+    "a09_length_quantiles" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(floor(quantile_cont(n_chars, 0.5) * 1000) AS BIGINT) AS p50_milli,
+        |  CAST(floor(quantile_cont(n_chars, 0.9) * 1000) AS BIGINT) AS p90_milli,
+        |  CAST(floor(quantile_cont(n_chars, 0.99) * 1000) AS BIGINT) AS p99_milli
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "j01_semi_join" ->
       """SELECT o_orderkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -675,6 +683,21 @@ object Queries {
         .select(col("user_id"), col("session_idx"), col("start_us"),
           col("end_us"), col("n_events"))
         .orderBy("user_id", "session_idx")
+    }),
+    "a09_length_quantiles" -> ((s, dir) => {
+      // per-language corpus length statistics (exact continuous quantiles) —
+      // the size-distribution readout a pretraining pipeline checks before
+      // and after filtering. Spark's `percentile` and DuckDB's quantile_cont
+      // share the linear-interpolation definition (lower + frac*(upper-
+      // lower) at rank p*(n-1)), so the values hash-match at permille scale.
+      docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("qs"))
+        .select(col("lang"), col("n"),
+          floor(element_at(col("qs"), 1) * 1000).cast("long").as("p50_milli"),
+          floor(element_at(col("qs"), 2) * 1000).cast("long").as("p90_milli"),
+          floor(element_at(col("qs"), 3) * 1000).cast("long").as("p99_milli"))
+        .orderBy("lang")
     }),
     "a08_dedup_first" -> ((s, dir) => {
       // first-arrival-per-key, batch window form — the relational twin of
