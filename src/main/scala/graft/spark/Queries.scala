@@ -270,6 +270,13 @@ object Queries {
         |)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // t16: wordcount head; ORDER BY (n DESC, tok) makes the LIMIT boundary
+    // deterministic in both engines
+    "t16_top_tokens" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '[ \t\n\x0b\f\r]+')) AS tok FROM documents
+        |) WHERE tok <> '' GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     // t11: md5 hex is bit-identical across engines; shingles are word
     // trigrams joined by one space; range(1, n-1) = indices 1..n-2 (1-based)
     "t11_minhash_twin" ->
@@ -881,6 +888,20 @@ object Queries {
       Dedup.connectedComponents(edges)
         .select(col("id"), col("component"))
         .orderBy("id")
+    }),
+    "t16_top_tokens" -> ((s, dir) => {
+      // corpus vocabulary head: top-20 tokens by frequency (count desc, token
+      // asc tie-break) — the wordcount diagnostic a pretraining pipeline runs
+      // on every new crawl slice. Tokenization = the shared wsToks (mirrors
+      // the oracle's string_split_regex exactly, empties filtered on both
+      // sides). Scale shape: explode -> map-side-combined count -> top-k via
+      // TakeOrderedAndProject; the shuffle carries (token, partial count).
+      docs(s, dir)
+        .select(explode(wsToks(lower(col("text")))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
     }),
     "t15_dedup_clusters" -> ((s, dir) => {
       // the dedup pipeline COMPOSED end-to-end (candidates -> exact-Jaccard
