@@ -154,8 +154,11 @@ object SubmitMain {
           val Array(_, tableDir, fromStr, outDir) = args.take(4)
           val log = new SnapshotLog(tableDir)
           val inc = log.scanIncremental(spark, Schemas.extractedSchema, fromStr.toLong)
-          val n = inc.count()
           inc.write.mode("overwrite").parquet(outDir)
+          // count the OUTPUT (parquet footer stats — near-free), not the
+          // input: a pre-write count() would scan the appended slice twice,
+          // defeating the command's whole cheap-incremental purpose
+          val n = spark.read.parquet(outDir).count()
           println(s"tailed $n rows appended after snapshot $fromStr -> $outDir")
         case "repair-metrics" =>
           // lineage backfill: a crash between snapshot commit and metrics

@@ -38,10 +38,19 @@ object Queries {
 
   private def docIdFromUrl = regexp_extract(col("url"), "doc/(\\d+)$", 1).cast("long")
 
-  // shared by the t11/t12/t13 machinery twins: ONE tokenization + word-
-  // trigram shingle + injected-corpus definition, so the three operators and
-  // their oracle CTEs can't silently diverge on a shingling change
-  private def wsToks(c: org.apache.spark.sql.Column) = split(trim(c), "\\s+")
+  // shared by the t11/t12/t13 machinery twins (+ t03/t15/t16): ONE
+  // tokenization + word-trigram shingle + injected-corpus definition, so the
+  // operators and their oracle CTEs can't silently diverge on a shingling
+  // change. Edge-trim is an explicit regex over EXACTLY Java's \s class
+  // (\A/\z anchors — absolute ends), mirrored verbatim in the oracles'
+  // regexp_replace: Spark's `trim` strips only 0x20 while DuckDB's also
+  // strips Unicode spaces, and Java `split` drops trailing empties while
+  // string_split_regex keeps them — pinning both edges to one class removes
+  // both latent divergences at once (no edge whitespace survives, so no
+  // boundary empties exist on either side).
+  private def wsToks(c: org.apache.spark.sql.Column) =
+    split(regexp_replace(c,
+      "(\\A[ \\t\\n\\x0B\\f\\r]+)|([ \\t\\n\\x0B\\f\\r]+\\z)", ""), "\\s+")
   private def triShingles(c: org.apache.spark.sql.Column) = {
     val t = wsToks(c)
     transform(sequence(lit(1), size(t) - 2), i =>
@@ -239,7 +248,7 @@ object Queries {
     "t15_dedup_clusters" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, lower(text) AS t FROM documents
-        |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) >= 6
+        |  WHERE len(string_split_regex(regexp_replace(text, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$)', '', 'g'), '[ \t\n\x0b\f\r]+')) >= 6
         |), lvl AS (
         |  SELECT doc_id AS id, t FROM base
         |  UNION ALL
@@ -252,7 +261,7 @@ object Queries {
         |), tri AS (
         |  SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM (SELECT id, string_split_regex(trim(t), '[ \t\n\x0b\f\r]+') AS w FROM lvl)
+        |  FROM (SELECT id, string_split_regex(regexp_replace(t, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$)', '', 'g'), '[ \t\n\x0b\f\r]+') AS w FROM lvl)
         |), cand AS (
         |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM base
         |  UNION ALL
@@ -274,14 +283,14 @@ object Queries {
     // deterministic in both engines
     "t16_top_tokens" ->
       """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
-        |  SELECT unnest(string_split_regex(trim(lower(text)),
+        |  SELECT unnest(string_split_regex(regexp_replace(lower(text), '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$)', '', 'g'),
         |    '[ \t\n\x0b\f\r]+')) AS tok FROM documents
         |) WHERE tok <> '' GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin,
     // t11: md5 hex is bit-identical across engines; shingles are word
     // trigrams joined by one space; range(1, n-1) = indices 1..n-2 (1-based)
     "t11_minhash_twin" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks
+        |  SELECT doc_id, string_split_regex(regexp_replace(text, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$)', '', 'g'), '[ \t\n\x0b\f\r]+') AS toks
         |  FROM documents
         |), s AS (
         |  SELECT doc_id,
@@ -301,14 +310,14 @@ object Queries {
     "t12_neardup_twin" ->
       """WITH base AS (
         |  SELECT doc_id, lower(text) AS text FROM documents
-        |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) >= 5
+        |  WHERE len(string_split_regex(regexp_replace(text, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$)', '', 'g'), '[ \t\n\x0b\f\r]+')) >= 5
         |), corpus AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
         |    regexp_replace(text, '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$', '') AS text FROM base
         |), tk AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks FROM corpus
+        |  SELECT doc_id, string_split_regex(regexp_replace(text, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$)', '', 'g'), '[ \t\n\x0b\f\r]+') AS toks FROM corpus
         |), sh AS (
         |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh
@@ -350,14 +359,14 @@ object Queries {
       val popcount = (0 until 16).map(b => s"(x // ${1 << b}) % 2").mkString(" + ")
       raw"""WITH base AS (
         |  SELECT doc_id, lower(text) AS text FROM documents
-        |  WHERE len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) >= 5
+        |  WHERE len(string_split_regex(regexp_replace(text, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$$)', '', 'g'), '[ \t\n\x0b\f\r]+')) >= 5
         |), corpus AS (
         |  SELECT doc_id, text FROM base
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id,
         |    regexp_replace(text, '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$$', '') AS text FROM base
         |), tk AS (
-        |  SELECT doc_id AS id, string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks FROM corpus
+        |  SELECT doc_id AS id, string_split_regex(regexp_replace(text, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$$)', '', 'g'), '[ \t\n\x0b\f\r]+') AS toks FROM corpus
         |), hvt AS (
         |  SELECT id, list_transform(toks, t -> $hv) AS hvs FROM tk
         |), sg AS (
@@ -373,7 +382,7 @@ object Queries {
     },
     "t03_token_count" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
+        |  CAST(len(string_split_regex(regexp_replace(text, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$)', '', 'g'), '[ \t\n\x0b\f\r]+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t04_quality_counts" ->
       """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
@@ -695,8 +704,11 @@ object Queries {
       // per-language corpus length statistics (exact continuous quantiles) —
       // the size-distribution readout a pretraining pipeline checks before
       // and after filtering. Spark's `percentile` and DuckDB's quantile_cont
-      // share the linear-interpolation definition (lower + frac*(upper-
-      // lower) at rank p*(n-1)), so the values hash-match at permille scale.
+      // share the WEIGHTED interpolation form at rank rn = p*(n-1):
+      // (ceil(rn)-rn)*lo + (rn-floor(rn))*hi — bit-identical in double
+      // (fuzz-checked), so the values hash-match at permille scale. (The
+      // algebraically-equal lo + frac*(hi-lo) form rounds DIFFERENTLY in
+      // double and would flake at the permille floor — don't "simplify".)
       docs(s, dir).groupBy("lang")
         .agg(count(lit(1)).as("n"),
           expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("qs"))
@@ -755,7 +767,7 @@ object Queries {
     }),
     "t03_token_count" -> ((s, dir) => {
       docs(s, dir).select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        size(wsToks(col("text"))).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
     "t04_quality_counts" -> ((s, dir) => {
