@@ -142,7 +142,8 @@ object SubmitMain {
           // fewer, larger data files as a new replace snapshot
           val tableDir = args(1)
           val target = if (args.length > 2) args(2).toInt else 128
-          new SnapshotLog(tableDir).compact(spark, Schemas.extractedSchema, target) match {
+          new SnapshotLog(tableDir).compact(spark, Schemas.extractedSchema, target,
+              statsColumns = Seq("bucket")) match {
             case Some(id) => println(s"compacted $tableDir into <= $target files (snapshot $id)")
             case None => println(s"$tableDir already at or under $target files; no-op")
           }

@@ -136,7 +136,10 @@ object ExtractJob {
       throw GateFailed(ok, total)
     }
 
-    if (force) log.commitReplace(snapshotId) else log.commit(snapshotId)
+    // bucket min/max ride the manifest: a later `bucket = k` read (resume
+    // repair, per-bucket audit) plans only the files whose range covers k
+    if (force) log.commitReplace(snapshotId, statsColumns = Seq("bucket"))
+    else log.commit(snapshotId, statsColumns = Seq("bucket"))
 
     // A3 lineage: per-bucket doc/byte counts + order-insensitive checksum
     // (bit_xor of per-row xxhash64 — partition-internal order cannot matter)
@@ -196,10 +199,19 @@ object ExtractJob {
       val files: Option[Seq[String]] =
         if (parent < 0) Some(log.filesAt(id)) // first commit: content = lineage
         else if (log.isAppendOf(id, parent)) Some(log.filesAddedBetween(parent, id))
-        else if (log.snapshots().contains(parent) || log.isSelfContained(id))
-          // replace / legacy-migration commit: its full content IS its
-          // lineage — decidable structurally even with the parent expired
-          // (a replace references only its own segment)
+        else if (log.snapshots().contains(parent)) {
+          // parent manifest still present but the child is not a pure segment
+          // append: either a replace (fresh paths, difference = full content)
+          // or a legacy-inline MIGRATION append, whose segment folds the
+          // parent's carried-over rows in — those rows already have lineage
+          // from the parent's own run, so only the path-set difference is
+          // this snapshot's lineage (full content would double-count them)
+          val carried = log.filesAt(parent).toSet
+          Some(log.filesAt(id).filterNot(carried))
+        } else if (log.isSelfContained(id))
+          // parent expired: only a true replace (references nothing but its
+          // own segment AND staged every file itself) is still decidable —
+          // its full content IS its lineage
           Some(log.filesAt(id))
         else None
         // append snapshot with an EXPIRED parent: its own rows are no longer

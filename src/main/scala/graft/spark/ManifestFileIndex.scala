@@ -2,9 +2,16 @@ package graft.spark
 
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types.StructType
+
+/** One manifest-listed data file: absolute path, size, per-column min/max
+  * bounds for the int/long columns the committing writer recorded stats for
+  * (empty = no stats = never pruned).
+  */
+final case class ManifestEntry(path: String, size: Long,
+    stats: Map[String, (Long, Long)])
 
 /** A [[FileIndex]] fed ENTIRELY from the snapshot manifest: paths AND sizes
   * ride the segment files (recorded at commit time, when the writer already
@@ -17,29 +24,102 @@ import org.apache.spark.sql.types.StructType
   * reason. `sizeInBytes` is exact (summed from the manifest), so join-side
   * broadcast decisions see true table size instead of a listing estimate.
   *
+  * FILE SKIPPING (round 5): manifest entries may carry per-column min/max
+  * bounds (`SnapshotLog.commit(statsColumns = ...)`). `listFiles` evaluates
+  * the pushed `dataFilters` against those bounds and drops files no row of
+  * which can match — e.g. a `bucket = 7` resume read plans only the files
+  * whose bucket range covers 7, without opening a single footer (the other
+  * half of what Iceberg manifests carry; round 4 read every file's footer
+  * for any filter). Pruning is strictly conservative: unknown columns,
+  * filter shapes, or literal types keep the file; min/max bound only
+  * NON-NULL values, which is sound because every pruned predicate is
+  * null-rejecting.
+  *
   * Flat layout (no partition columns): the snapshot's bucket structure lives
   * in the data, not the directory tree, so `partitionSchema` is empty and
-  * all files sit in one [[PartitionDirectory]]. Filter pushdown and column
-  * pruning are untouched — they happen in the parquet reader below this.
+  * all files sit in one [[PartitionDirectory]]. Row-group pushdown and
+  * column pruning are untouched — they happen in the parquet reader below
+  * this.
   */
-final class ManifestFileIndex(tableRoot: String, files: Seq[(String, Long)])
+final class ManifestFileIndex(tableRoot: String, entries: Seq[ManifestEntry])
     extends FileIndex {
 
   override val rootPaths: Seq[HPath] = Seq(new HPath(tableRoot))
 
   override def listFiles(partitionFilters: Seq[Expression],
-      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    Seq(PartitionDirectory(InternalRow.empty, files.map { case (p, len) =>
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val kept =
+      if (dataFilters.isEmpty || entries.forall(_.stats.isEmpty)) entries
+      else entries.filter(e =>
+        e.stats.isEmpty || dataFilters.forall(f => mayMatch(e.stats, f)))
+    Seq(PartitionDirectory(InternalRow.empty, kept.map { e =>
       // modification time 0: immutable committed files, never re-read by
       // freshness; block size only seeds split arithmetic
-      new FileStatus(len, false, 1, 128L << 20, 0L, new HPath(p))
+      new FileStatus(e.size, false, 1, 128L << 20, 0L, new HPath(e.path))
     }.toArray))
+  }
 
-  override def inputFiles: Array[String] = files.map(_._1).toArray
+  /** Conservative interval test: false ONLY when `f` provably rejects every
+    * row whose stats-tracked columns lie in their recorded [min, max]. The
+    * bounds ignore nulls, so a `false` is sound only for null-REJECTING
+    * predicates — which all the handled comparison shapes are (`col op
+    * literal` is null-valued, hence filtered out, on a null input); anything
+    * else (IsNull, UDFs, casts, unknown columns) returns true.
+    */
+  private def mayMatch(stats: Map[String, (Long, Long)], f: Expression): Boolean = {
+    def bounds(e: Expression): Option[(Long, Long)] = e match {
+      case a: AttributeReference => stats.get(a.name)
+      case _ => None
+    }
+    def longLit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case _ => None
+    }
+    def cmp(l: Expression, r: Expression)(p: ((Long, Long), Long) => Boolean): Boolean =
+      (bounds(l), longLit(r)) match {
+        case (Some(b), Some(v)) => p(b, v)
+        case _ => true
+      }
+    f match {
+      case And(a, b) => mayMatch(stats, a) && mayMatch(stats, b)
+      case Or(a, b) => mayMatch(stats, a) || mayMatch(stats, b)
+      case EqualTo(a, l: Literal) => cmp(a, l) { case ((mn, mx), v) => mn <= v && v <= mx }
+      case EqualTo(l: Literal, a) => cmp(a, l) { case ((mn, mx), v) => mn <= v && v <= mx }
+      case GreaterThan(a, l: Literal) => cmp(a, l) { case ((_, mx), v) => mx > v }
+      case GreaterThan(l: Literal, a) => cmp(a, l) { case ((mn, _), v) => mn < v }
+      case GreaterThanOrEqual(a, l: Literal) => cmp(a, l) { case ((_, mx), v) => mx >= v }
+      case GreaterThanOrEqual(l: Literal, a) => cmp(a, l) { case ((mn, _), v) => mn <= v }
+      case LessThan(a, l: Literal) => cmp(a, l) { case ((mn, _), v) => mn < v }
+      case LessThan(l: Literal, a) => cmp(a, l) { case ((_, mx), v) => mx > v }
+      case LessThanOrEqual(a, l: Literal) => cmp(a, l) { case ((mn, _), v) => mn <= v }
+      case LessThanOrEqual(l: Literal, a) => cmp(a, l) { case ((_, mx), v) => mx <= v }
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        bounds(a) match {
+          case Some((mn, mx)) =>
+            vs.exists(v => longLit(v).forall(x => mn <= x && x <= mx))
+          case None => true
+        }
+      case InSet(a, vs) =>
+        bounds(a) match {
+          case Some((mn, mx)) => vs.exists {
+            case v: java.lang.Integer => mn <= v.longValue && v.longValue <= mx
+            case v: java.lang.Long => mn <= v.longValue && v.longValue <= mx
+            case _ => true
+          }
+          case None => true
+        }
+      case _ => true
+    }
+  }
+
+  override def inputFiles: Array[String] = entries.map(_.path).toArray
 
   override def refresh(): Unit = () // manifests are immutable
 
-  override val sizeInBytes: Long = files.map(_._2).sum
+  override val sizeInBytes: Long = entries.map(_.size).sum
 
   override def partitionSchema: StructType = StructType(Nil)
 }

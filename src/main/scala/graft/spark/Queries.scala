@@ -27,7 +27,13 @@ object Queries {
     */
   private def corpusStamp(path: String): String = {
     val f = new java.io.File(path)
-    val files = if (f.isDirectory) f.listFiles().toSeq.filter(_.isFile) else Seq(f)
+    require(f.exists(), s"corpus path $path does not exist — cannot stamp an index key")
+    // listFiles() is null for an unreadable dir — surface that as an empty
+    // listing (loud enough: the stamp degenerates, never an opaque NPE);
+    // harness-only code, top-level files are the layout spark writes
+    val files =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.filter(_.isFile)
+      else Seq(f)
     val (size, mtime) = files.foldLeft((0L, 0L)) { case ((s, m), x) =>
       (s + x.length(), math.max(m, x.lastModified())) }
     java.lang.Long.toHexString(size * 1000003L ^ mtime)

@@ -593,8 +593,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(logB.snapshots() == Seq(2L))
     assert(logB.currentFiles().toSet == liveBefore)
     assert(logB.scan(spark, Schemas.extractedSchema).count() == corpusSize)
-    assert(!java.nio.file.Files.exists(logB.dataDir(0L)), "snap-0 dir must be reclaimed")
-    assert(!java.nio.file.Files.exists(logB.dataDir(1L)), "snap-1 dir must be reclaimed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(logB.dataDir(0L))),
+      "snap-0 dir must be reclaimed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(logB.dataDir(1L))),
+      "snap-1 dir must be reclaimed")
     // current snapshot is always retained even when keepLast exceeds history
     assert(logB.expireSnapshots(keepLast = 5) == ((0, 0)))
   }
@@ -636,7 +638,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.limit(10).repartition(2).write.mode("overwrite").parquet(log.stageDataDir(9L))
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 7200000L)
-    java.nio.file.Files.walk(log.dataDir(9L)).forEach(p =>
+    java.nio.file.Files.walk(java.nio.file.Paths.get(log.dataDir(9L))).forEach(p =>
       java.nio.file.Files.setLastModifiedTime(p, old))
     // a concurrent writer's ACTIVE staged snapshot: unreferenced, and its
     // FIRST part file closed over an hour ago (long-running stage) while a
@@ -645,10 +647,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // at that writer's commit)
     rows.limit(10).repartition(2).write.mode("overwrite").parquet(log.stageDataDir(1L))
     val freshBefore = log.stagedFiles(1L)
-    java.nio.file.Files.setLastModifiedTime(freshBefore.head, old)
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(freshBefore.head), old)
     val deleted = log.removeOrphanFiles(minAgeMs = 3600000L)
     assert(deleted >= 2, s"aged orphans must be reclaimed, deleted=$deleted")
-    assert(!java.nio.file.Files.exists(log.dataDir(9L)), "orphan dir must be removed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(log.dataDir(9L))),
+      "orphan dir must be removed")
     assert(log.stagedFiles(1L) == freshBefore, "fresh staged files must survive")
     assert(log.scan(spark, rows.schema).count() == 100, "committed data untouched")
     // a zero/negative age disables the only concurrent-writer protection
@@ -859,26 +863,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.filesAt(1L).size == log.filesAt(1L).distinct.size)
     assert(!log.filesAt(1L).exists(_.contains("garbage")),
       "retried commit must overwrite the crashed segment")
-    // crash AFTER the manifest-list move but BEFORE the pointer swap: the
-    // table still reads as the previous snapshot, and retrying the commit
-    // must overwrite the residual list and complete (round 4 pre-fix: the
-    // non-replacing ATOMIC_MOVE threw FileAlreadyExists — a crash loop)
+    // crash AFTER the manifest CAS but BEFORE the hint write: the CAS is the
+    // commit point (round 5), so the table ALREADY reads as the new snapshot —
+    // readers probe forward past the stale hint — and a retry of the same
+    // commit recognizes its own completed manifest (head == id, own segment
+    // lists exactly the staged files) and just heals the hint
     rows.limit(20).repartition(2)
       .write.mode("overwrite").parquet(log.stageDataDir(2L))
-    // a real crashed attempt of commit(2) records parent 1 in its header
-    F.writeString(P.get(dir, "meta", "snap-2.txt"),
-      "snapshot\t2\tparent\t1\nmanifest\tmeta/seg-1.txt\n")
-    assert(log.currentSnapshot().contains(1L), "pointer not yet swapped")
     log.commit(2L)
-    assert(log.currentSnapshot().contains(2L))
     assert(log.scan(spark, rows.schema).count() == 220)
-    // a FOREIGN un-pointed manifest (different recorded parent) is refused,
-    // never overwritten — that would be another writer's commit in flight
+    F.writeString(P.get(dir, "meta", "current"), "1") // simulate the stale hint
+    assert(log.currentSnapshot().contains(2L),
+      "reader must probe past a stale hint — the manifest is the commit point")
+    assert(log.commit(2L) == 2L, "retry of a completed commit is idempotent")
+    assert(F.readString(P.get(dir, "meta", "current")).trim == "2",
+      "the idempotent retry must heal the hint")
+    // a FOREIGN manifest occupying the id we stage for (another writer's
+    // commit) is refused, never absorbed: its own segment does not list our
+    // staged files, so the heal check fails loudly
     rows.limit(5).repartition(1)
       .write.mode("overwrite").parquet(log.stageDataDir(3L))
     F.writeString(P.get(dir, "meta", "snap-3.txt"),
-      "snapshot\t3\tparent\t0\nmanifest\tmeta/seg-1.txt\n")
-    intercept[IllegalArgumentException](log.commit(3L))
+      "snapshot\t3\tparent\t2\nmanifest\tmeta/seg-1.txt\n")
+    intercept[IllegalStateException](log.commit(3L))
     F.delete(P.get(dir, "meta", "snap-3.txt"))
     log.abort(3L)
     // an ORPHANED segment (id never retried) ages out via removeOrphanFiles
@@ -903,7 +910,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.filter(col("id") < 100).repartition(4)
       .write.mode("overwrite").parquet(legacy.stageDataDir(0L))
     val staged = legacy.stagedFiles(0L)
-      .map(p => P.get(legacyDir).relativize(p).toString)
+      .map(p => P.get(legacyDir).toAbsolutePath.relativize(P.get(p)).toString)
     F.createDirectories(P.get(legacyDir, "meta"))
     F.writeString(P.get(legacyDir, "meta", "snap-0.txt"),
       ("snapshot\t0\tparent\t-1" +: staged.map(f => s"file\t$f")).mkString("", "\n", "\n"))

@@ -44,14 +44,24 @@ class SnapshotModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     for (step <- 1 to 40) {
       val op = rnd.nextInt(10)
       op match {
-        case 0 | 1 | 2 | 3 => // append commit of 1-20 fresh rows
+        case 0 | 1 | 2 | 3 => // append commit of 1-20 fresh rows; op 3 goes
+          // through the optimistic path (unique staging dir, id allocated at
+          // the manifest CAS) so strict and OCC commits interleave freely
           val n = 1 + rnd.nextInt(20)
           val fresh = (nextId until nextId + n)
           nextId += n
-          val id = log.nextSnapshotId()
-          rows(fresh).repartition(1 + rnd.nextInt(3))
-            .write.mode("overwrite").parquet(log.stageDataDir(id))
-          log.commit(id)
+          val id =
+            if (op == 3) {
+              val stage = log.stageUniqueDataDir()
+              rows(fresh).repartition(1 + rnd.nextInt(3))
+                .write.mode("overwrite").parquet(stage)
+              log.commitOptimistic(stage)
+            } else {
+              val id0 = log.nextSnapshotId()
+              rows(fresh).repartition(1 + rnd.nextInt(3))
+                .write.mode("overwrite").parquet(log.stageDataDir(id0))
+              log.commit(id0)
+            }
           current = (current ++ fresh).sorted
           history += id -> current
           // incremental invariant: the appended rows ARE the incremental read
