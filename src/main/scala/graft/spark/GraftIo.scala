@@ -124,11 +124,17 @@ final class GraftIo(base: String, userConf: Configuration) {
 
   /** Atomic overwrite-publish of a small metadata file: readers see the old
     * content or the new, never a torn write. Rename-atomic stores stage to a
-    * `.tmp` sibling and swap; object stores PUT directly (per-object atomic).
+    * UNIQUELY-named `.tmp` sibling and swap — a fixed tmp name would be a
+    * shared mutable slot between concurrent writers of the same target (two
+    * hint bumps racing: one rename consumes the other's staged file, the
+    * loser throws FileNotFound AFTER its commit succeeded). Crashed tmps age
+    * out via orphan cleanup (the `.tmp` suffix is the contract there).
+    * Object stores PUT directly (per-object atomic).
     */
   def writeAtomic(p: HPath, s: String): Unit =
     if (atomicRename) {
-      val tmp = new HPath(p.getParent, p.getName + ".tmp")
+      val tmp = new HPath(p.getParent,
+        p.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
       writeDirect(tmp, s)
       renameOverwrite(tmp, p)
     } else writeDirect(p, s)
