@@ -502,21 +502,32 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * planning + open() overhead come to dominate the read path. This is the
     * `rewrite_data_files` analog of real Iceberg.
     *
-    * The rewrite uses `coalesce` (narrow bin-packing — no shuffle: at scale
-    * the whole point is to move bytes once, executor-local, not re-exchange
-    * them; rows keep their bucket column, only file-level alignment of one
-    * bucket per file is given up). Crash-safe like any commit: the rewrite is
-    * staged under a UNIQUE `.compact-<uuid>` temp directory (never a
-    * predictable snapshot id — round 3 cleared `dataDir(nextSnapshotId())`
-    * first, which would have deleted a concurrent writer's freshly staged
-    * files had it picked the same id) and renamed into the snapshot's data
-    * dir right before the manifest CAS. A crashed compaction leaves only the
-    * aged temp dir, which [[removeOrphanFiles]] reclaims. If the rename
-    * target is already occupied — some writer staged under the same id —
-    * compaction FAILS rather than deleting that writer's data (the unique
-    * staging confines a collision to a loud error instead of silent data
-    * loss). History stays time-travel-able until [[expireSnapshots]] reclaims
-    * the pre-compaction files.
+    * SIZE-BINNED rewrite (round 5): files are greedily grouped in manifest
+    * order by their manifest-recorded sizes into ~(total/targetFiles)-byte
+    * bins, and each bin is rewritten as ONE narrow single-task job — all bins
+    * submitted CONCURRENTLY from the driver. Rewrite parallelism is therefore
+    * the bin count (≈ output file count computed from real bytes), never the
+    * `coalesce(targetFiles)` shape round 4 used, which capped the READ
+    * parallelism of the whole rewrite at the output file count — a 100 TB
+    * compaction to 128 files would have read the entire table through 128
+    * tasks no matter how many executors sat idle. Still no shuffle: bytes
+    * move once, file-group-local (rows keep their bucket column; only
+    * file-level alignment of one bucket per file is given up). A single file
+    * larger than the bin target keeps its own bin — file granularity is the
+    * floor. Skew evidence: CompactProbe.
+    *
+    * Crash-safe like any commit: the rewrite is staged under a UNIQUE
+    * `.compact-<uuid>` temp directory (never a predictable snapshot id —
+    * round 3 cleared `dataDir(nextSnapshotId())` first, which would have
+    * deleted a concurrent writer's freshly staged files had it picked the
+    * same id) and renamed into the snapshot's data dir right before the
+    * manifest CAS. A crashed compaction leaves only the aged temp dir, which
+    * [[removeOrphanFiles]] reclaims. If the rename target is already
+    * occupied — some writer staged under the same id — compaction FAILS
+    * rather than deleting that writer's data (the unique staging confines a
+    * collision to a loud error instead of silent data loss). History stays
+    * time-travel-able until [[expireSnapshots]] reclaims the pre-compaction
+    * files.
     *
     * Compaction also compacts METADATA: the replace commit references one
     * fresh segment, so a long append lineage's segment chain (scan listing
@@ -530,12 +541,46 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       targetFiles: Int = 128,
       statsColumns: Seq[String] = Nil): Option[Long] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
-    if (currentFiles().size <= targetFiles) return None
+    val current = currentSnapshot().getOrElse(return None)
+    val meta = metaAt(current)
+    if (meta.size <= targetFiles) return None
+    // manifest-recorded sizes drive the binning (zero stats for post-r4
+    // commits); a legacy entry without one is stat'ed once here
+    val sized = meta.map { m =>
+      (m.path, m.size.getOrElse(
+        try io.len(new HPath(m.path)) catch { case _: java.io.IOException => 0L }))
+    }
+    val targetBytes = math.max(1L,
+      (sized.map(_._2).sum + targetFiles - 1) / targetFiles)
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var bin = scala.collection.mutable.ArrayBuffer.empty[String]
+    var acc = 0L
+    sized.foreach { case (p, sz) =>
+      bin += p; acc += sz
+      if (acc >= targetBytes) { bins += bin.toSeq; bin = bin.take(0); acc = 0L }
+    }
+    if (bin.nonEmpty) bins += bin.toSeq
     val tmp = new HPath(root,
       "data/.compact-" + java.util.UUID.randomUUID().toString)
     try {
-      scan(spark, schema).coalesce(targetFiles)
-        .write.mode("overwrite").parquet(io.extern(tmp))
+      // one single-output narrow job per bin, all in flight at once: Spark's
+      // scheduler interleaves their tasks, so rewrite parallelism is
+      // min(cores, bins) even though each output file is written by one task
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(bins.size, math.max(2, Runtime.getRuntime.availableProcessors())))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val jobs = bins.toSeq.zipWithIndex.map { case (files, i) =>
+        scala.concurrent.Future {
+          spark.read.schema(schema).parquet(files: _*).coalesce(1)
+            .write.mode("overwrite")
+            .parquet(io.extern(new HPath(tmp, f"bin-$i%05d")))
+        }
+      }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf): Unit
+      finally pool.shutdown()
       val id = nextSnapshotId()
       val dest = dataDirPath(id)
       if (io.exists(dest))
