@@ -123,3 +123,29 @@ final class ManifestFileIndex(tableRoot: String, entries: Seq[ManifestEntry])
 
   override def partitionSchema: StructType = StructType(Nil)
 }
+
+/** Plan a parquet scan over manifest-listed files without touching the
+  * filesystem: HadoopFsRelation over a [[ManifestFileIndex]] (the same
+  * relation `spark.read.parquet` builds, minus its driver-side listing).
+  * Pushdown/pruning are unaffected — they live in the parquet format below.
+  * Shared by the snapshot-log scan and the published-index serving paths.
+  */
+object ManifestScan {
+  def apply(spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+      schema: StructType, entries: Seq[ManifestEntry]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val relation = HadoopFsRelation(
+      location = new ManifestFileIndex(tableRoot, entries),
+      partitionSchema = StructType(Nil),
+      // nullable-normalized: DataSource.resolveRelation does the same (its
+      // asNullable is private[spark]), so the manifest path and the
+      // spark.read fallback expose ONE nullability surface — and a corrupt
+      // file smuggling a null into a declared non-null column surfaces as a
+      // null, not as wrong codegen
+      dataSchema = StructType(schema.fields.map(f => f.copy(nullable = true))),
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.GraftShim.ofRows(spark, LogicalRelation(relation, false))
+  }
+}

@@ -763,34 +763,9 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (entries.forall(_.size.isDefined))
-      manifestScan(spark, schema, entries.map(m =>
-        ManifestEntry(m.path, m.size.get, m.stats)))
+      ManifestScan(spark, io.extern(root), schema,
+        entries.map(m => ManifestEntry(m.path, m.size.get, m.stats)))
     else spark.read.schema(schema).parquet(entries.map(_.path): _*)
-  }
-
-  /** Plan a parquet scan over manifest-listed files without touching the
-    * filesystem: HadoopFsRelation over a [[ManifestFileIndex]] (the same
-    * relation `spark.read.parquet` builds, minus its driver-side listing).
-    * Pushdown/pruning are unaffected — they live in the format below.
-    */
-  private def manifestScan(spark: org.apache.spark.sql.SparkSession,
-      schema: org.apache.spark.sql.types.StructType,
-      files: Seq[ManifestEntry]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val relation = HadoopFsRelation(
-      location = new ManifestFileIndex(io.extern(root), files),
-      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
-      // nullable-normalized: DataSource.resolveRelation does the same (its
-      // asNullable is private[spark]), so the manifest path and the
-      // spark.read fallback expose ONE nullability surface — and a corrupt
-      // file smuggling a null into a declared non-null column surfaces as a
-      // null, not as wrong codegen
-      dataSchema = org.apache.spark.sql.types.StructType(
-        schema.fields.map(f => f.copy(nullable = true))),
-      bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      options = Map.empty)(spark)
-    org.apache.spark.sql.GraftShim.ofRows(spark, LogicalRelation(relation, false))
   }
 }
 

@@ -1147,20 +1147,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(partsByBucket.nonEmpty)
     assert(partsByBucket.values.forall(_.size == 1),
       s"one file per bucket dir expected, got ${partsByBucket.view.mapValues(_.size).toMap}")
-    // the serving plan reads the bucket column as a PARTITION filter —
-    // directory pruning, not a post-scan filter over re-hashed rows (the
-    // round-3 weak shape); the per-row hash UDF must be gone entirely
+    // the serving plan is built FROM THE INDEX MANIFEST (round 5): the 13
+    // probes select manifest entries before planning, so the scan carries
+    // ONLY the probed buckets' files and does zero directory listing — a
+    // strictly stronger shape than round-4's PartitionFilters pruning, which
+    // still re-listed the whole index per query; the per-row hash UDF must
+    // be gone from serving entirely
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_index_manifest.txt")),
+      "publish must ship the serving manifest")
     val q0 = Array.tabulate(16)(d => math.sin(d * 1.3).toFloat)
-    val plan = Embeddings.lshTopKIndexed(spark, path, q0, 10)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
-      s"expected partition pruning on bucket:\n${plan.take(2000)}")
-    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(pf.contains("bucket") && pf.contains("IN"),
-      s"bucket IN (probes) must be a PartitionFilter, got: $pf")
+    val served = Embeddings.lshTopKIndexed(spark, path, q0, 10)
+    val location = served.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }.head
+    assert(location.isInstanceOf[ManifestFileIndex],
+      s"index serving must plan from the manifest, got ${location.getClass}")
+    val probeDirs = graft.kernel.TextStats.embeddingLshProbes(q0)
+      .map(b => s"bucket=$b").toSet
+    val plannedDirs = location.inputFiles.map(p => p.split('/').takeRight(2).head).toSet
+    assert(plannedDirs.nonEmpty && plannedDirs.subsetOf(probeDirs),
+      s"planned non-probed buckets: ${plannedDirs -- probeDirs}")
+    val plan = served.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("pythonudf") &&
       !plan.contains("UDF(embedding"),
       "the serving path must not re-hash the corpus with a UDF")
+    // a PRE-MANIFEST index (round-4 layout) still serves identically through
+    // the listing fallback: move the manifest aside and compare
+    val mf = java.nio.file.Paths.get(path, "_index_manifest.txt")
+    val mfAside = java.nio.file.Paths.get(path + ".mf_aside")
+    java.nio.file.Files.move(mf, mfAside)
+    try {
+      val fallback = Embeddings.lshTopKIndexed(spark, path, q0, 10)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      val manifested = served
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(fallback == manifested, "fallback and manifest serving must agree")
+    } finally java.nio.file.Files.move(mfAside, mf)
   }
 
   test("simhash multi-probe: near-dup differing in a TOP-16 bit is still found (hamming<=3)") {
@@ -1323,7 +1349,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("IVF materialized index: probe plan prunes partitions (PartitionFilters on cell)") {
+  test("IVF materialized index: probe plans only the probed cells' files from the manifest") {
     val sp = spark; import sp.implicits._
     val emb = Seq.tabulate(200)(i =>
       (i.toLong, Array.tabulate(8)(d => math.cos(i * 0.37 + d).toFloat), i % 4))
@@ -1333,9 +1359,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Embeddings.ivfBuildIndex(emb, cents, idxPath)
     val q = Array.tabulate(8)(d => math.cos(0.37 + d).toFloat) // vec 1's vector
     val probe = Embeddings.ivfTopKIndexed(spark, idxPath, cents, q, k = 5, nProbe = 3)
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
-      s"probe must prune by cell partitions, not scan the corpus:\n${plan.take(1500)}")
+    // round 5: the probed cells select index-manifest entries BEFORE planning
+    // (no directory listing, no PartitionFilters left to apply), so the scan's
+    // FileIndex is the manifest one and its files sit under probed cells only
+    val location = probe.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location
+    }.head
+    assert(location.isInstanceOf[ManifestFileIndex],
+      s"probe must plan from the index manifest, got ${location.getClass}")
+    val probedCells = Embeddings.probeCells(cents, q, nProbe = 3)
+      .map(c => s"cell=$c").toSet
+    val plannedDirs = location.inputFiles.map(p => p.split('/').takeRight(2).head).toSet
+    assert(plannedDirs.nonEmpty && plannedDirs.subsetOf(probedCells),
+      s"probe planned non-probed cells: ${plannedDirs -- probedCells}")
     // pruned probe returns the same rows as the on-the-fly probe
     val expect = Embeddings.ivfTopK(emb, cents, q, k = 5, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

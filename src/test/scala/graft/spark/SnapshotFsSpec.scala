@@ -227,6 +227,40 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .flatMap(_.files).size == 4)
   }
 
+  test("file:-scheme ANN index: publish, manifest serving, and GC through Hadoop FS") {
+    val sp = spark; import sp.implicits._
+    val emb = Seq.tabulate(200)(i =>
+      (i.toLong, Array.tabulate(16)(d => math.sin(i * 0.37 + d * 1.3).toFloat), i % 5))
+      .toDF("vec_id", "embedding", "label")
+    val base = tmpDir("fs_idx")
+    val path = "file:" + base + "/idx"
+    Embeddings.lshBuildIndex(emb, path)
+    Embeddings.lshBuildIndex(emb, path) // idempotent (completeness gate)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base, "idx", "_index_manifest.txt")))
+    for (qi <- Seq(3, 11)) {
+      val q = Array.tabulate(16)(d => math.sin(qi * 0.37 + d * 1.3).toFloat)
+      val scanned = Embeddings.lshTopK(emb, q, 5)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      val indexed = Embeddings.lshTopKIndexed(spark, path, q, 5)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(indexed == scanned, s"query $qi over file: index diverged")
+    }
+    // IVF over a scheme'd path: ensure-index round-trips the sidecar too
+    val ivfPath = "file:" + base + "/ivf"
+    val (cents, trained) = Embeddings.ivfEnsureIndex(emb, ivfPath, k = 4)
+    assert(trained)
+    val (cents2, trained2) = Embeddings.ivfEnsureIndex(emb, ivfPath, k = 4)
+    assert(!trained2 && cents2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    val q = Array.tabulate(16)(d => math.sin(7 * 0.37 + d * 1.3).toFloat)
+    assert(Embeddings.ivfTopKIndexed(spark, ivfPath, cents, q, k = 3, nProbe = 2)
+      .collect().nonEmpty)
+    // GC across the scheme'd base dir
+    Embeddings.pruneStaleIndexes("file:" + base, "i", keep = "idx", minAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(base, "ivf")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(base, "idx")))
+  }
+
   test("extract pipeline records bucket stats and a bucket read plans fewer files") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("stats_e2e")
