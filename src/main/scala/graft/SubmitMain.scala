@@ -43,7 +43,8 @@ object SubmitMain {
         |  lsh-index <embeddingsParquet> <indexDir>
         |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]
         |  repair-metrics <tableDir>
-        |  tail    <tableDir> <fromSnapshot> <outDir>""".stripMargin)
+        |  tail    <tableDir> <fromSnapshot> <outDir>
+        |  pipeline <pagesParquet> <tableDir> <dedupedDir> [numBuckets=32]""".stripMargin)
     sys.exit(2)
   }
 
@@ -69,7 +70,7 @@ object SubmitMain {
     // compact's targetFiles is optional; tail needs 4 args; the rest 3
     val minArgs = args.headOption match {
       case Some("compact") | Some("orphans") | Some("repair-metrics") => 2
-      case Some("tail") => 4
+      case Some("tail") | Some("pipeline") => 4
       case _ => 3
     }
     if (args.length < minArgs) usage()
@@ -161,6 +162,25 @@ object SubmitMain {
           // defeating the command's whole cheap-incremental purpose
           val n = spark.read.parquet(outDir).count()
           println(s"tailed $n rows appended after snapshot $fromStr -> $outDir")
+        case "pipeline" =>
+          // the composed per-batch flow (C12 + P1 end-to-end): extract only
+          // pending pages, tail exactly the appended slice, exact-dedup it
+          // against the deduped corpus's digests, append the survivors —
+          // nothing re-reads the accumulated corpus; rerun after success is
+          // a full no-op
+          val Array(_, pagesPath, tableDir, dedupedDir) = args.take(4)
+          val buckets = if (args.length > 4) args(4).toInt else 32
+          val pages = spark.read.schema(Schemas.pagesSchema).parquet(pagesPath)
+            .as[Schemas.Page](org.apache.spark.sql.Encoders.product[Schemas.Page])
+          val r = graft.spark.Pipelines.incrementalDedup(
+            spark, pages, tableDir, dedupedDir, buckets)
+          (r.extractedSnapshot, r.dedupedSnapshot) match {
+            case (None, _) => println("nothing pending (resume found all urls committed)")
+            case (Some(e), None) =>
+              println(s"extracted snapshot=$e; batch was all duplicates — deduped table unchanged")
+            case (Some(e), Some(d)) =>
+              println(s"extracted snapshot=$e; appended ${r.appendedRows} deduped rows (snapshot $d)")
+          }
         case "repair-metrics" =>
           // lineage backfill: a crash between snapshot commit and metrics
           // append leaves a committed snapshot with no lineage row; re-derive

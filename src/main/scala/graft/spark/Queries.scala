@@ -715,6 +715,10 @@ object Queries {
       // (fuzz-checked), so the values hash-match at permille scale. (The
       // algebraically-equal lo + frac*(hi-lo) form rounds DIFFERENTLY in
       // double and would flake at the permille floor — don't "simplify".)
+      // SCALE HAZARD: exact `percentile` buffers EVERY value per group — on
+      // a 100-TB corpus with a handful of lang groups that is an OOM-shaped
+      // aggregate. This query is the ORACLE ANCHOR (DuckDB-hash-checked);
+      // the serving form at corpus scale is a10's bounded-memory sketch.
       docs(s, dir).groupBy("lang")
         .agg(count(lit(1)).as("n"),
           expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("qs"))
@@ -722,6 +726,23 @@ object Queries {
           floor(element_at(col("qs"), 1) * 1000).cast("long").as("p50_milli"),
           floor(element_at(col("qs"), 2) * 1000).cast("long").as("p90_milli"),
           floor(element_at(col("qs"), 3) * 1000).cast("long").as("p99_milli"))
+        .orderBy("lang")
+    }),
+    "a10_length_quantiles_approx" -> ((s, dir) => {
+      // the scale-safe twin of a09: approx_percentile is a bounded-memory
+      // Greenwald-Khanna sketch (state O(accuracy·log n) per group, never
+      // O(group)) — what actually runs at 100 TB. Rows-only in the harness:
+      // DuckDB has no bit-identical sketch twin, so correctness is pinned in
+      // ScalaTest against the exact a09 within the sketch's 1/accuracy rank
+      // bound instead. At verify scale (n per group << accuracy=10000) the
+      // sketch never compresses, so the output is also parallelism-stable.
+      docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(n_chars, array(0.5D, 0.9D, 0.99D), 10000)").as("qs"))
+        .select(col("lang"), col("n"),
+          element_at(col("qs"), 1).cast("long").as("p50"),
+          element_at(col("qs"), 2).cast("long").as("p90"),
+          element_at(col("qs"), 3).cast("long").as("p99"))
         .orderBy("lang")
     }),
     "a08_dedup_first" -> ((s, dir) => {

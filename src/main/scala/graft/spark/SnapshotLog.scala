@@ -735,6 +735,12 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     else spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** Abort a unique staging dir created by [[stageUniqueDataDir]]. */
+  def abortStage(stagedDir: String): Unit = {
+    val p = io.qualify(new HPath(stagedDir))
+    if (io.exists(p)) io.delete(p, recursive = true): Unit
+  }
+
   /** Abort a staged (uncommitted) snapshot: delete its data directory. */
   def abort(snapshotId: Long): Unit =
     if (io.exists(dataDirPath(snapshotId)))

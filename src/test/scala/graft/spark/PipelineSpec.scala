@@ -1189,6 +1189,107 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally java.nio.file.Files.move(mfAside, mf)
   }
 
+  test("composed incremental pipeline equals the from-scratch run on the union") {
+    val sp = spark; import sp.implicits._
+    // batch 1 = 80 docs; batch 2 = 40 fresh docs + 10 exact duplicates of
+    // batch-1 texts (new urls) + 2 internal duplicates of one batch-2 doc —
+    // the arriving-batch shape the incremental flow exists for
+    val all = Synth.corpus(120)
+    val batch1 = all.take(80)
+    val crossDups = all.take(10).map(p => p.copy(url = p.url + "-xdup"))
+    val internalBase = all(85)
+    val internalDups = Seq("a", "b").map(s =>
+      internalBase.copy(url = internalBase.url + "-idup" + s))
+    val batch2 = all.drop(80) ++ crossDups ++ internalDups
+    val union = batch1 ++ batch2
+
+    val incTable = tmpDir("pipe_inc_tbl"); val incDedup = tmpDir("pipe_inc_dd")
+    val r1 = Pipelines.incrementalDedup(
+      spark, spark.createDataset(batch1), incTable, incDedup, 8)
+    assert(r1.extractedSnapshot.contains(0L) && r1.dedupedSnapshot.isDefined)
+    // turn 2 receives the UNION but must extract only the pending batch-2
+    // urls (resume anti-join) and dedup only the appended slice (tail)
+    val r2 = Pipelines.incrementalDedup(
+      spark, spark.createDataset(union), incTable, incDedup, 8)
+    assert(r2.extractedSnapshot.contains(1L) && r2.dedupedSnapshot.isDefined)
+    assert(r2.appendedRows > 0 && r2.appendedRows <= 41,
+      s"cross-batch duplicates must not re-enter (appended ${r2.appendedRows})")
+    // turn 3: nothing pending anywhere — the whole pipeline is a no-op
+    val r3 = Pipelines.incrementalDedup(
+      spark, spark.createDataset(union), incTable, incDedup, 8)
+    assert(r3 == Pipelines.IncrementalResult(None, None, 0L))
+
+    // from-scratch: one run over the union into fresh tables
+    val fsTable = tmpDir("pipe_fs_tbl"); val fsDedup = tmpDir("pipe_fs_dd")
+    Pipelines.incrementalDedup(
+      spark, spark.createDataset(union), fsTable, fsDedup, 8)
+
+    def rows(dir: String): Seq[(String, String, String)] =
+      new SnapshotLog(dir).scan(spark, Pipelines.dedupedSchema)
+        .select("fp", "url", "text")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSeq.sorted
+    val inc = rows(incDedup)
+    val scratch = rows(fsDedup)
+    // the deduped CORPUS CONTENT must be identical: same digest set, same
+    // text per digest. (Which copy's url rides along as the representative
+    // is the one legitimate divergence: incremental keeps the FIRST-COMMITTED
+    // copy — the only order a stream of batches can honor — while a
+    // from-scratch pass picks the min-url copy across all batches at once.)
+    assert(inc.map(t => (t._1, t._3)) == scratch.map(t => (t._1, t._3)),
+      s"incremental (${inc.size} rows) != from-scratch (${scratch.size} rows)")
+    // for the constructed duplicates the two rules agree (originals sort
+    // below their -xdup/-idup copies): both runs must keep the originals
+    val incByFp = inc.map(t => t._1 -> t._2).toMap
+    val scratchByFp = scratch.map(t => t._1 -> t._2).toMap
+    for (p <- all.take(10) ++ Seq(internalBase)) {
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(Synth.oracleExtract(Seq(p))(p.url).text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(incByFp.get(fp).contains(p.url), s"incremental kept ${incByFp.get(fp)} for ${p.url}")
+      assert(scratchByFp.get(fp).contains(p.url), s"from-scratch kept ${scratchByFp.get(fp)} for ${p.url}")
+    }
+    // sanity: duplicates actually collapsed (union has 132 pages)
+    assert(inc.size < union.size && inc.map(_._1).distinct.size == inc.size)
+  }
+
+  test("a10 approx quantiles: inside the sketch's rank bound of the exact a09 anchor") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("quantiles")
+    // skewed per-language length distributions (the real corpus shape)
+    val docs = (for (l <- Seq("en", "de", "fr"); i <- 0 until 4000) yield {
+      val len = l.length * 500 + (i * i) % 3000 + i / 7
+      (l.hashCode.toLong * 10000 + i, "x" * 3, l, "web", len.toLong)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val approx = Queries.registry("a10_length_quantiles_approx")(spark, dir)
+      .collect().map(r => r.getString(0) -> Seq(r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(approx.keySet == Set("en", "de", "fr"))
+    val byLang = docs.collect().map(r => (r.getString(2), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // approx_percentile guarantees rank error <= n/accuracy; assert each
+    // returned value's rank interval intersects [n(p-eps), n(p+eps)]
+    val eps = 1.0 / 10000 + 0.004
+    for ((lang, vals) <- byLang; (p, i) <- Seq(0.5, 0.9, 0.99).zipWithIndex) {
+      val v = approx(lang)(i)
+      val lo = vals.count(_ < v).toDouble
+      val hi = vals.count(_ <= v).toDouble
+      val n = vals.length
+      assert(lo <= n * (p + eps) && hi >= n * (p - eps),
+        s"$lang p$p: approx $v has rank [$lo,$hi] outside n*(p±eps)=${n * p}")
+    }
+    // and the exact anchor agrees with a direct interpolation readout
+    val exact = Queries.registry("a09_length_quantiles")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    for ((lang, vals) <- byLang) {
+      val rn = 0.5 * (vals.length - 1)
+      val (flo, fhi) = (vals(rn.floor.toInt).toDouble, vals(rn.ceil.toInt).toDouble)
+      val interp = (rn.ceil - rn) * flo + (rn - rn.floor) * fhi
+      val expected = math.floor((if (rn.ceil == rn.floor) flo else interp) * 1000).toLong
+      assert(exact(lang) == expected, s"$lang exact p50 drifted")
+    }
+  }
+
   test("simhash multi-probe: near-dup differing in a TOP-16 bit is still found (hamming<=3)") {
     val sp = spark; import sp.implicits._
     // find a word substitution that flips >= 1 of the top-16 simhash bits and
