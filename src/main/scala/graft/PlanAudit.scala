@@ -60,18 +60,21 @@ object PlanAudit {
           "by every consumer — round 1 recomputed the corpus scan + hashing 4x. " +
           "Production calls materialize the pair set and unpersist."),
       "e04_embed_ivf" ->
-        ("IVF probe against the MATERIALIZED cell-partitioned index: the scan shows " +
-          "PartitionFilters: cell IN (probe cells) — directory-level pruning reads " +
-          "~nProbe/k of the corpus; brute-force top-k only over surviving rows. " +
-          "Round 4: the index is keyed by training parameters and carries its " +
-          "centroids as a sidecar, so a key hit does ZERO training scans."),
+        ("IVF probe against the MATERIALIZED cell-partitioned index, planned FROM " +
+          "THE INDEX MANIFEST (round 5): the probe cells select manifest entries " +
+          "before planning, so the scan's file list already holds only ~nProbe/k " +
+          "of the corpus — no PartitionFilters needed, no directory listing, no " +
+          "per-file stats at query time (round 4 re-listed the index per query). " +
+          "Location shows ManifestFileIndex. Centroids ride as a sidecar, so a " +
+          "key hit does ZERO training scans."),
       "e09_lsh_indexed" ->
-        ("ANN serving against the MATERIALIZED hyperplane-LSH bucket index (round 3's " +
-          "one weak component): the 13-key multi-probe is satisfied by " +
-          "PartitionFilters: bucket IN (own + 12 Hamming-1 flips) — directory " +
-          "pruning reads ~13/4096 of the corpus and the per-row hash UDF is gone " +
-          "from the serving path (it ran once, at build time). Same atomic publish " +
-          "+ stale-index GC as IVF."),
+        ("ANN serving against the MATERIALIZED hyperplane-LSH bucket index: the " +
+          "13-key multi-probe (own + 12 Hamming-1 flips) selects ~13/4096 bucket " +
+          "files from the index manifest BEFORE planning — Location shows " +
+          "ManifestFileIndex over only probed buckets' files, zero listing/stat " +
+          "calls per query, and the per-row hash UDF is gone from serving (it ran " +
+          "once, at build time). Same atomic Hadoop-FS publish + stale-index GC " +
+          "as IVF."),
       "t08_simhash_pairs" ->
         ("SimHash near-dup (lazy audit variant): ONE persisted InMemoryRelation for " +
           "the signature subtree feeds the hot-bucket aggregate and both self-join " +

@@ -49,7 +49,7 @@ final class GraftIo(base: String, userConf: Configuration) {
     */
   private val plainLocal: Boolean = basePath.toUri.getScheme == null
 
-  val fs: FileSystem = FileSystem.newInstance(basePath.toUri, conf)
+  val fs: FileSystem = GraftIo.fsFor(basePath.toUri, conf)
   val root: HPath = fs.makeQualified(basePath)
   private val scheme: String = root.toUri.getScheme
 
@@ -186,4 +186,20 @@ final class GraftIo(base: String, userConf: Configuration) {
       case _: java.nio.file.FileAlreadyExistsException => false
       case _: java.io.IOException if exists(dst) => false // posix ENOTEMPTY
     }
+}
+
+object GraftIo {
+  // ONE FileSystem per (scheme, authority): a fresh newInstance per GraftIo
+  // would allocate (and never close) an RPC client per table/index handle on
+  // hdfs:// — a driver touching thousands of tables would leak them. The
+  // instances must still be PRIVATE to this layer (not FileSystem.get): the
+  // raw-local/file override must not mutate the process-wide cache Spark's
+  // own writers share. All GraftIo confs are derived identically, so keying
+  // by endpoint alone is sound here.
+  private val fsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
+  private def fsFor(uri: java.net.URI, conf: Configuration): FileSystem =
+    fsCache.computeIfAbsent(
+      String.valueOf(uri.getScheme) + "://" + String.valueOf(uri.getAuthority),
+      _ => FileSystem.newInstance(uri, conf))
 }
