@@ -394,6 +394,12 @@ object Embeddings {
         target.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
       writeIndexTree(df, partitionCol, io, tmp, sidecars)
       if (!io.promoteDir(tmp, target)) {
+        // re-probe the gate IMMEDIATELY before acting: the occupant that
+        // blocked our rename may be a racer's complete publish by now —
+        // moving THAT aside would make the live index vanish for readers
+        // until our own promote lands (the residual rename-vs-rename window
+        // is unavoidable without a lock, but probing at the last instant
+        // shrinks it from "whole publish" to microseconds)
         if (publishComplete(io, target)) io.delete(tmp, recursive = true): Unit
         else {
           val aside = new HPath(target.getParent,
@@ -401,11 +407,16 @@ object Embeddings {
           val moved =
             try { io.renameOverwrite(target, aside); true }
             catch { case _: java.io.IOException => false }
-          if (!io.promoteDir(tmp, target))
-            // a racer published between the probe and our retry — equivalent
-            // content from the same corpus; ours is redundant
-            io.delete(tmp, recursive = true): Unit
-          if (moved) io.delete(aside, recursive = true): Unit
+          if (moved && publishComplete(io, aside)) {
+            // we yanked a racer's COMPLETE index (it landed between our probe
+            // and the rename): put it straight back and discard ours —
+            // equivalent content from the same corpus, readers keep theirs
+            if (io.promoteDir(aside, target)) io.delete(tmp, recursive = true): Unit
+            else { io.delete(aside, recursive = true): Unit; finishPromote(io, tmp, target) }
+          } else {
+            finishPromote(io, tmp, target)
+            if (moved) io.delete(aside, recursive = true): Unit
+          }
         }
       }
     } else {
@@ -413,6 +424,12 @@ object Embeddings {
       io.writeDirect(new HPath(target, "_graft_published"), "")
     }
   }
+
+  /** Final promote attempt after the stale occupant was cleared: a racer
+    * completing in the window means ours is redundant — drop the tmp.
+    */
+  private def finishPromote(io: GraftIo, tmp: HPath, target: HPath): Unit =
+    if (!io.promoteDir(tmp, target)) io.delete(tmp, recursive = true): Unit
 
   /** The index bytes at `dir`: partitioned parquet + sidecars + the SERVING
     * MANIFEST (`_index_manifest.txt`: data schema, then one

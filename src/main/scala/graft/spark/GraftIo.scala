@@ -83,29 +83,38 @@ final class GraftIo(base: String, userConf: Configuration) {
     rel.getPath
   }
 
+  // single-RPC status forms: an exists() probe before getFileStatus/
+  // listStatus would double NameNode round-trips on the metadata hot path
+  // (currentSnapshot probes, expire/orphan sweeps) — absence is the
+  // FileNotFoundException branch of the one call instead
   def exists(p: HPath): Boolean = fs.exists(p)
-  def isDirectory(p: HPath): Boolean = exists(p) && fs.getFileStatus(p).isDirectory
+  def isDirectory(p: HPath): Boolean =
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
   def mkdirs(p: HPath): Unit = { fs.mkdirs(p): Unit }
   def len(p: HPath): Long = fs.getFileStatus(p).getLen
   def mtime(p: HPath): Long = fs.getFileStatus(p).getModificationTime
-  def delete(p: HPath, recursive: Boolean = false): Boolean = fs.delete(p, recursive)
+  def delete(p: HPath, recursive: Boolean = false): Boolean =
+    try fs.delete(p, recursive)
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Direct children (empty for a missing directory). */
   def list(dir: HPath): Seq[FileStatus] =
-    if (!exists(dir)) Seq.empty else fs.listStatus(dir).toSeq
+    try fs.listStatus(dir).toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
 
-  /** All regular files under `dir`, recursively (empty for a missing dir).
-    * Deliberately via recursive `listStatus`, NOT `listFiles(recursive)`:
-    * the latter materializes LocatedFileStatus objects whose construction
-    * eagerly loads permissions — on a local filesystem without the Hadoop
-    * native library that is one forked `ls` per file (measured 11 ms/file:
-    * a 2048-file stage took 22 s to list). Plain FileStatus keeps the
-    * permission load lazy, and nothing in this protocol reads permissions.
+  /** All regular files under `dir`, recursively (empty for a missing dir —
+    * including one deleted concurrently mid-walk). Deliberately via recursive
+    * `listStatus`, NOT `listFiles(recursive)`: the latter materializes
+    * LocatedFileStatus objects whose construction eagerly loads permissions —
+    * on a local filesystem without the Hadoop native library that is one
+    * forked `ls` per file (measured 11 ms/file: a 2048-file stage took 22 s
+    * to list). Plain FileStatus keeps the permission load lazy, and nothing
+    * in this protocol reads permissions.
     */
   def walkFiles(dir: HPath): Seq[FileStatus] = {
-    if (!exists(dir)) return Seq.empty
     val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
-    def go(d: HPath): Unit = fs.listStatus(d).foreach { st =>
+    def go(d: HPath): Unit = list(d).foreach { st =>
       if (st.isDirectory) go(st.getPath) else buf += st
     }
     go(dir)
@@ -189,17 +198,26 @@ final class GraftIo(base: String, userConf: Configuration) {
 }
 
 object GraftIo {
-  // ONE FileSystem per (scheme, authority): a fresh newInstance per GraftIo
-  // would allocate (and never close) an RPC client per table/index handle on
-  // hdfs:// — a driver touching thousands of tables would leak them. The
-  // instances must still be PRIVATE to this layer (not FileSystem.get): the
-  // raw-local/file override must not mutate the process-wide cache Spark's
-  // own writers share. All GraftIo confs are derived identically, so keying
-  // by endpoint alone is sound here.
+  // ONE FileSystem per (scheme, authority, fs-affecting conf): a fresh
+  // newInstance per GraftIo would allocate (and never close) an RPC client
+  // per table/index handle on hdfs:// — a driver touching thousands of
+  // tables would leak them. The instances must still be PRIVATE to this
+  // layer (not FileSystem.get): the raw-local/file override must not mutate
+  // the process-wide cache Spark's own writers share. The key includes a
+  // fingerprint of the caller conf's `fs.*`/`graft.*` entries — the ones
+  // that change filesystem construction/behavior — so a table opened with
+  // per-endpoint credentials or flags never gets another conf's client
+  // (endpoint-only keying silently ignored every conf after the first).
   private val fsCache =
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
-  private def fsFor(uri: java.net.URI, conf: Configuration): FileSystem =
-    fsCache.computeIfAbsent(
-      String.valueOf(uri.getScheme) + "://" + String.valueOf(uri.getAuthority),
-      _ => FileSystem.newInstance(uri, conf))
+  private def fsFor(uri: java.net.URI, conf: Configuration): FileSystem = {
+    import scala.jdk.CollectionConverters._
+    val fp = conf.iterator().asScala
+      .map(e => (e.getKey, e.getValue))
+      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("graft.") }
+      .toSeq.sorted.hashCode()
+    val key = String.valueOf(uri.getScheme) + "://" +
+      String.valueOf(uri.getAuthority) + "#" + fp
+    fsCache.computeIfAbsent(key, _ => FileSystem.newInstance(uri, conf))
+  }
 }

@@ -95,7 +95,10 @@ final class ManifestFileIndex(tableRoot: String, entries: Seq[ManifestEntry])
       case LessThan(a, l: Literal) => cmp(a, l) { case ((mn, _), v) => mn < v }
       case LessThan(l: Literal, a) => cmp(a, l) { case ((_, mx), v) => mx > v }
       case LessThanOrEqual(a, l: Literal) => cmp(a, l) { case ((mn, _), v) => mn <= v }
-      case LessThanOrEqual(l: Literal, a) => cmp(a, l) { case ((_, mx), v) => mx <= v }
+      // v <= col is satisfiable iff v <= max — NOT mx <= v (that inversion
+      // pruned exactly the files whose range covers the bound; caught in the
+      // round-5 review, pinned by a literal-on-left test for all four ops)
+      case LessThanOrEqual(l: Literal, a) => cmp(a, l) { case ((_, mx), v) => mx >= v }
       case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         bounds(a) match {
           case Some((mn, mx)) =>

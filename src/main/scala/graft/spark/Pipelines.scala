@@ -40,9 +40,19 @@ object Pipelines {
       appendedRows: Long)
 
   /** One batch turn of the pipeline. Returns what was committed where (None
-    * everywhere = nothing pending: the batch was already fully processed —
-    * rerun-safe after any crash, because every stage is either idempotent or
-    * anchored to committed snapshots).
+    * everywhere = nothing pending: the batch was already fully processed).
+    *
+    * CRASH-SAFE BY WATERMARK: the deduped table records the extract snapshot
+    * it has consumed up to (`meta/_extract_watermark`, written only AFTER the
+    * deduped commit). The slice to dedup is watermark→current — NOT "what
+    * this call just extracted": a driver that died between the extract
+    * commit and the deduped commit makes the rerun's extract a no-op, and
+    * anchoring on the extract result would have dropped that slice from the
+    * deduped corpus forever (round-5 review). Re-running an already-deduped
+    * slice (crash between deduped commit and watermark write) is idempotent:
+    * its digests are already in the table, the anti-join drops every row.
+    * A force re-extract (replace commit) breaks the watermark lineage and
+    * fails loudly — rebuild the deduped table alongside.
     */
   def incrementalDedup(
       spark: SparkSession,
@@ -51,17 +61,33 @@ object Pipelines {
       dedupedDir: String,
       numBuckets: Int = 32): IncrementalResult = {
     val log = new SnapshotLog(tableDir)
-    val before = log.currentSnapshot()
-    ExtractJob.run(spark, pages, tableDir, numBuckets) match {
-      case None => IncrementalResult(None, None, 0L)
-      case Some(id) =>
-        val fresh = before match {
-          case Some(b) => log.scanIncremental(spark, Schemas.extractedSchema, b, Some(id))
-          case None => log.scan(spark, Schemas.extractedSchema, asOf = Some(id))
-        }
-        val (dedupId, n) = appendDeduped(spark, fresh, dedupedDir)
-        IncrementalResult(Some(id), dedupId, n)
+    val extracted = ExtractJob.run(spark, pages, tableDir, numBuckets)
+    val to = log.currentSnapshot()
+    val from = readWatermark(dedupedDir)
+    if (to.isEmpty || from == to) return IncrementalResult(extracted, None, 0L)
+    val fresh = from match {
+      case Some(f) => log.scanIncremental(spark, Schemas.extractedSchema, f, to)
+      case None => log.scan(spark, Schemas.extractedSchema, asOf = to)
     }
+    val (dedupId, n) = appendDeduped(spark, fresh, dedupedDir)
+    writeWatermark(dedupedDir, to.get)
+    IncrementalResult(extracted, dedupId, n)
+  }
+
+  private def wmPath(io: GraftIo) =
+    new org.apache.hadoop.fs.Path(io.root, "meta/_extract_watermark")
+
+  /** Highest extract snapshot the deduped table has consumed (None = fresh). */
+  def readWatermark(dedupedDir: String): Option[Long] = {
+    val io = new GraftIo(dedupedDir, SnapshotLog.defaultHadoopConf())
+    val p = wmPath(io)
+    if (io.exists(p)) Some(io.readString(p).trim.toLong) else None
+  }
+
+  private def writeWatermark(dedupedDir: String, v: Long): Unit = {
+    val io = new GraftIo(dedupedDir, SnapshotLog.defaultHadoopConf())
+    io.mkdirs(new org.apache.hadoop.fs.Path(io.root, "meta"))
+    io.writeAtomic(wmPath(io), v.toString)
   }
 
   /** Exact-dedup `fresh` extracted rows against the deduped table and append

@@ -577,11 +577,22 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
             .parquet(io.extern(new HPath(tmp, f"bin-$i%05d")))
         }
       }
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(jobs),
-        scala.concurrent.duration.Duration.Inf): Unit
-      finally pool.shutdown()
-      val id = nextSnapshotId()
+      // await EVERY bin (no fail-fast): the finally below deletes tmp, and a
+      // fail-fast Await would pull it out from under still-running sibling
+      // writes — confusing secondary failures + orphan residue re-created
+      // after the delete (round-5 review)
+      val failures = jobs.flatMap(f =>
+        try { scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf); None }
+        catch { case e: Throwable => Some(e) })
+      pool.shutdown()
+      failures.headOption.foreach(throw _)
+      // commit at base+1, NOT nextSnapshotId(): the rewrite lists `current`'s
+      // content, so any commit that landed DURING the rewrite must make this
+      // replace lose its manifest CAS and fail loudly — an id allocated after
+      // the race would pass the contiguity check while silently dropping the
+      // racer's rows from the table (round-5 review)
+      val id = current + 1
       val dest = dataDirPath(id)
       if (io.exists(dest))
         throw new IllegalStateException(

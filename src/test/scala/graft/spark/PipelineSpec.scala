@@ -1253,6 +1253,76 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(inc.size < union.size && inc.map(_._1).distinct.size == inc.size)
   }
 
+  test("pipeline crash windows: a missed dedup is recovered; re-dedup is idempotent") {
+    val sp = spark; import sp.implicits._
+    val all = Synth.corpus(60)
+    val table = tmpDir("pipe_crash_tbl"); val dd = tmpDir("pipe_crash_dd")
+    def content(dir: String) = new SnapshotLog(dir)
+      .scan(spark, Pipelines.dedupedSchema).select("fp", "url")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    // crash window 1: driver died AFTER the extract commit, BEFORE the dedup
+    // commit — simulated by running the extract OUTSIDE the pipeline; the
+    // rerun's extract is a no-op but the watermark lags, so the slice must
+    // still be deduped (anchoring on the extract result lost it forever)
+    ExtractJob.run(spark, spark.createDataset(all.take(40)), table, 8)
+    val r = Pipelines.incrementalDedup(
+      spark, spark.createDataset(all.take(40)), table, dd, 8)
+    assert(r.extractedSnapshot.isEmpty && r.dedupedSnapshot.isDefined
+      && r.appendedRows > 0, s"missed slice must be recovered: $r")
+    val rows1 = content(dd)
+    assert(Pipelines.readWatermark(dd).contains(0L))
+    // crash window 2: dedup committed but the watermark write died — rerun
+    // re-dedups the whole lineage, the digest anti-join drops every row, the
+    // watermark heals, content unchanged
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dd, "meta", "_extract_watermark"))
+    val r2 = Pipelines.incrementalDedup(
+      spark, spark.createDataset(all.take(40)), table, dd, 8)
+    assert(r2.extractedSnapshot.isEmpty && r2.dedupedSnapshot.isEmpty
+      && r2.appendedRows == 0, s"re-dedup must be a content no-op: $r2")
+    assert(Pipelines.readWatermark(dd).contains(0L), "watermark must heal")
+    assert(content(dd) == rows1)
+    // and the pipeline proceeds normally on the next real batch
+    val r3 = Pipelines.incrementalDedup(
+      spark, spark.createDataset(all), table, dd, 8)
+    assert(r3.extractedSnapshot.contains(1L) && r3.appendedRows > 0)
+    assert(Pipelines.readWatermark(dd).contains(1L))
+  }
+
+  test("compact racing a concurrent optimistic appender never drops committed rows") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("compact_race")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(2000).select(col("id"), (col("id") % 7).as("v"))
+    rows.filter(col("id") < 1000).repartition(40)
+      .write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    // compaction plans from the snapshot it read and commits at base+1: any
+    // append landing during the rewrite must WIN the manifest CAS and make
+    // the replace fail loudly — an id allocated after the race passed the
+    // contiguity check while silently dropping the appender's rows
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val compactJob = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+      def call(): Option[Long] =
+        try new SnapshotLog(dir).compact(spark, rows.schema, targetFiles = 2)
+        catch { case _: IllegalStateException => None } // loud loss is the contract
+    })
+    val appender = new SnapshotLog(dir)
+    for (i <- 0 until 3) {
+      val stage = appender.stageUniqueDataDir()
+      rows.filter(col("id") >= 1000 + i * 100 && col("id") < 1100 + i * 100)
+        .repartition(2).write.mode("overwrite").parquet(stage)
+      appender.commitOptimistic(stage)
+    }
+    val compacted = compactJob.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    // whatever interleaving happened, NO committed row may vanish
+    val got = log.scan(spark, rows.schema).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 1300L).toSeq,
+      s"rows lost after compact(${compacted}) raced 3 appends: ${got.size} of 1300")
+  }
+
   test("a10 approx quantiles: inside the sketch's rank bound of the exact a09 anchor") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("quantiles")

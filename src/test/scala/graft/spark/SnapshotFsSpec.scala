@@ -208,6 +208,15 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files(EqualTo(Literal(2), bucketAttr)).size == 1)
     assert(files(GreaterThanOrEqual(bucketAttr, Literal(2))).size == 2)
     assert(files(LessThan(bucketAttr, Literal(1))).size == 1)
+    // literal-on-left shapes: each `v op col` must keep exactly the files
+    // whose [min,max] intersects the half-line (the round-5 review caught
+    // `2 <= bucket` pruning inverted — it dropped every COVERING file)
+    assert(files(LessThanOrEqual(Literal(2), bucketAttr)).size == 2, "2 <= bucket -> buckets 2,3")
+    assert(files(LessThan(Literal(2), bucketAttr)).size == 1, "2 < bucket -> bucket 3")
+    assert(files(GreaterThanOrEqual(Literal(1), bucketAttr)).size == 2, "1 >= bucket -> buckets 0,1")
+    assert(files(GreaterThan(Literal(1), bucketAttr)).size == 1, "1 > bucket -> bucket 0")
+    assert(files(LessThanOrEqual(Literal(9), bucketAttr)).isEmpty, "9 <= bucket -> none")
+    assert(files(GreaterThan(Literal(0), bucketAttr)).isEmpty, "0 > bucket -> none")
     assert(files(In(bucketAttr, Seq(Literal(0), Literal(3)))).size == 2)
     assert(files(And(GreaterThan(bucketAttr, Literal(0)),
       LessThan(bucketAttr, Literal(3)))).size == 2)
