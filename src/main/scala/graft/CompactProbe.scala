@@ -87,12 +87,9 @@ object CompactProbe {
     require(maxRunning >= math.min(8, outSizes.size),
       s"rewrite parallelism $maxRunning below min(cores, bins)")
 
-    // cleanup
-    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    } finally walk.close()
+    // cleanup (shared recursive delete — no third copy of the walk idiom)
+    new graft.spark.GraftIo(dir, new org.apache.hadoop.conf.Configuration())
+      .delete(new org.apache.hadoop.fs.Path(dir), recursive = true): Unit
     spark.stop()
   }
 }

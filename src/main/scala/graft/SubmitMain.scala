@@ -174,13 +174,15 @@ object SubmitMain {
             .as[Schemas.Page](org.apache.spark.sql.Encoders.product[Schemas.Page])
           val r = graft.spark.Pipelines.incrementalDedup(
             spark, pages, tableDir, dedupedDir, buckets)
-          (r.extractedSnapshot, r.dedupedSnapshot) match {
-            case (None, _) => println("nothing pending (resume found all urls committed)")
-            case (Some(e), None) =>
-              println(s"extracted snapshot=$e; batch was all duplicates — deduped table unchanged")
-            case (Some(e), Some(d)) =>
-              println(s"extracted snapshot=$e; appended ${r.appendedRows} deduped rows (snapshot $d)")
-          }
+          val ex = r.extractedSnapshot
+            .map(e => s"extracted snapshot=$e")
+            .getOrElse("extract: nothing pending (resume found all urls committed)")
+          val dd = r.dedupedSnapshot
+            // None+Some happens on crash RECOVERY (a prior run committed the
+            // extract but died before the dedup): rows still move — say so
+            .map(d => s"appended ${r.appendedRows} deduped rows (snapshot $d)")
+            .getOrElse("deduped table unchanged (no new digests)")
+          println(s"$ex; $dd")
         case "repair-metrics" =>
           // lineage backfill: a crash between snapshot commit and metrics
           // append leaves a committed snapshot with no lineage row; re-derive

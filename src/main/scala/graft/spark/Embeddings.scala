@@ -319,8 +319,9 @@ object Embeddings {
   /** Centroids stored beside a published index, if the index is complete. */
   def ivfLoadCentroids(path: String): Option[Array[Array[Float]]] = {
     val io = indexIo(path)
-    val sidecar = new HPath(io.root, "_centroids.txt")
-    if (!publishComplete(io, io.root) || !io.exists(sidecar)) return None
+    if (!publishComplete(io, io.root)) return None
+    val sidecar = new HPath(indexRoot(io), "_centroids.txt")
+    if (!io.exists(sidecar)) return None
     Some(io.readString(sidecar).split('\n')
       .filter(_.nonEmpty).map(_.split(',').map(_.toFloat)))
   }
@@ -357,19 +358,39 @@ object Embeddings {
   /** IO handle for an index path: any Hadoop-reachable store (round 4's
     * protocol was nio-only and rejected scheme'd paths outright — the same
     * deployability gap the SnapshotLog port closed, closed here too).
+    * Memoized per path: serving calls this per query, and a fresh GraftIo
+    * copies the full Hadoop conf twice — constant-time serving means not
+    * re-doing that. (The conf is captured at a path's first use in this JVM.)
     */
+  private val ioCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GraftIo]()
   private def indexIo(path: String): GraftIo =
-    new GraftIo(path, SnapshotLog.defaultHadoopConf())
+    ioCache.computeIfAbsent(path,
+      p => new GraftIo(p, SnapshotLog.defaultHadoopConf()))
 
-  /** A published index is COMPLETE iff its gate file exists: on rename-atomic
-    * stores the directory appeared atomically, so Spark's own _SUCCESS
-    * suffices; on object stores the publish writes in place (dir rename is a
-    * copy), so the gate is a `_graft_published` marker written LAST —
-    * write-then-marker, the protocol the round-4 comment promised.
+  /** A published index is COMPLETE iff its commit gate exists — rename-atomic
+    * stores: the directory appeared atomically, Spark's own _SUCCESS
+    * suffices; non-atomic stores: the `._current` POINTER object names the
+    * live versioned directory (see [[publishIndex]]).
     */
   private def publishComplete(io: GraftIo, dir: HPath): Boolean =
     if (io.atomicRename) io.exists(new HPath(dir, "_SUCCESS"))
-    else io.exists(new HPath(dir, "_graft_published"))
+    else io.exists(versionPtr(dir))
+
+  private def versionPtr(target: HPath): HPath =
+    new HPath(target.getParent, target.getName + "._current")
+
+  /** The directory actually holding a published index's bytes: the target
+    * itself on rename-atomic stores; the pointer-named versioned sibling on
+    * object stores.
+    */
+  private def indexRoot(io: GraftIo): HPath =
+    if (io.atomicRename) io.root
+    else {
+      val ptr = versionPtr(io.root)
+      if (io.exists(ptr)) new HPath(io.root.getParent, io.readString(ptr).trim)
+      else io.root
+    }
 
   /** Atomic materialized-index publish, shared by IVF and hyperplane LSH:
     * write `df` partitioned by `partitionCol` (plus `sidecars` as hidden
@@ -420,8 +441,19 @@ object Embeddings {
         }
       }
     } else {
-      writeIndexTree(df, partitionCol, io, target, sidecars)
-      io.writeDirect(new HPath(target, "_graft_published"), "")
+      // object store (no atomic dir rename): write into a UNIQUE versioned
+      // sibling, then commit by writing the pointer object — a single PUT,
+      // atomic per object. Round-5 review killed the previous in-place
+      // overwrite: two concurrent publishers deleted each other's files
+      // mid-write and could gate a manifest referencing missing files. With
+      // versioned dirs the racers never touch the same bytes; last pointer
+      // PUT wins, both contents equivalent (same corpus). Superseded
+      // versions age out via [[pruneStaleIndexes]] (they match the same
+      // name prefix).
+      val version = new HPath(target.getParent,
+        target.getName + ".v-" + java.util.UUID.randomUUID().toString.take(8))
+      writeIndexTree(df, partitionCol, io, version, sidecars)
+      io.writeDirect(versionPtr(target), version.getName)
     }
   }
 
@@ -478,8 +510,17 @@ object Embeddings {
   private def readIndexPartitions(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, partCol: String, values: Seq[Int]): DataFrame = {
     val io = indexIo(indexPath)
-    val mf = new HPath(io.root, "_index_manifest.txt")
-    if (publishComplete(io, io.root) && io.exists(mf)) {
+    // a gate-less directory is NEVER scanned: on an object store an
+    // in-flight in-place publish is visible file-by-file, and a silent
+    // directory read would return partial top-k results (round-5 review) —
+    // loud beats wrong, and a complete-but-pre-manifest (round-4) index
+    // still has its gate
+    require(publishComplete(io, io.root),
+      s"index at $indexPath is not a completed publish (missing commit gate)" +
+        " — build it first (lshBuildIndex / ivfEnsureIndex)")
+    val root = indexRoot(io)
+    val mf = new HPath(root, "_index_manifest.txt")
+    if (io.exists(mf)) {
       val lines = io.readString(mf).split('\n')
       val schema = org.apache.spark.sql.types.DataType.fromJson(
         lines.find(_.startsWith("schema\t"))
@@ -489,15 +530,16 @@ object Embeddings {
       val entries = lines.iterator
         .filter(_.startsWith("file\t")).map(_.split('\t'))
         .filter(p => want.contains(p(1)))
-        .map(p => ManifestEntry(io.extern(new HPath(io.root, p(2))),
+        .map(p => ManifestEntry(io.extern(new HPath(root, p(2))),
           p(3).toLong, Map.empty))
         .toSeq
       if (entries.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else ManifestScan(spark, io.extern(io.root), schema, entries)
+      else ManifestScan(spark, io.extern(root), schema, entries)
     } else
-      spark.read.parquet(indexPath)
+      // complete legacy (pre-manifest) index: listing read, partition pruning
+      spark.read.parquet(io.extern(root))
         .filter(col(partCol).isin(values: _*))
         .drop(partCol)
   }
@@ -546,9 +588,18 @@ object Embeddings {
     val io = indexIo(baseDir)
     if (!io.isDirectory(io.root)) return
     val cutoff = System.currentTimeMillis() - minAgeMs
+    // on non-atomic stores the live index is `keep`'s pointer + the
+    // versioned dir it names — both must survive the sweep with `keep`
+    val keepSet: Set[String] = {
+      val ptr = new HPath(io.root, keep + "._current")
+      val pointed =
+        if (io.exists(ptr)) Some(io.readString(ptr).trim) else None
+      Set(keep, keep + "._current") ++ pointed
+    }
     io.list(io.root).filter { st =>
       val n = st.getPath.getName
-      n.startsWith(prefix) && n != keep && st.getModificationTime <= cutoff
+      n.startsWith(prefix) && !keepSet.contains(n) &&
+        st.getModificationTime <= cutoff
     }.foreach(st => io.delete(st.getPath, recursive = true): Unit)
   }
 

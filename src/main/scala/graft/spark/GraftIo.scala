@@ -212,10 +212,12 @@ object GraftIo {
     new java.util.concurrent.ConcurrentHashMap[String, FileSystem]()
   private def fsFor(uri: java.net.URI, conf: Configuration): FileSystem = {
     import scala.jdk.CollectionConverters._
+    // the FULL fingerprint string is the key — a 32-bit hash would hand one
+    // conf's FileSystem (credentials!) to another on a collision, silently
     val fp = conf.iterator().asScala
       .map(e => (e.getKey, e.getValue))
       .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("graft.") }
-      .toSeq.sorted.hashCode()
+      .toSeq.sorted.mkString(" ")
     val key = String.valueOf(uri.getScheme) + "://" +
       String.valueOf(uri.getAuthority) + "#" + fp
     fsCache.computeIfAbsent(key, _ => FileSystem.newInstance(uri, conf))

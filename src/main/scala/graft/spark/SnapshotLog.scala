@@ -398,7 +398,12 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
   private def footerStats(st: FileStatus, cols: Seq[String]): Map[String, (Long, Long)] =
     if (cols.isEmpty) Map.empty
     else try {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, io.conf)
+      // the CALLER's conf, never io.conf: fromStatus resolves its FileSystem
+      // through the process-wide FileSystem.get cache, and io.conf's
+      // raw-local pin would poison that global cache for every later
+      // file:// consumer in the JVM (Spark's own writers included) — the
+      // exact leak GraftIo uses newInstance to prevent
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hadoopConf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq

@@ -270,6 +270,50 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(base, "idx")))
   }
 
+  test("non-atomic store protocol: versioned index publish commits via pointer PUT") {
+    val sp = spark; import sp.implicits._
+    // force the object-store branch on local disk: treat rename as
+    // non-atomic, so publishIndex must use write-then-pointer
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("graft.fs.atomic.rename", false)
+    try {
+      val emb = Seq.tabulate(150)(i =>
+        (i.toLong, Array.tabulate(16)(d => math.sin(i * 0.37 + d * 1.3).toFloat), i % 5))
+        .toDF("vec_id", "embedding", "label")
+      val base = tmpDir("nonatomic_idx")
+      val path = base + "/idx"
+      Embeddings.lshBuildIndex(emb, path)
+      // publish landed in a UNIQUE versioned sibling; the pointer object is
+      // the commit (a single PUT) — concurrent publishers never share bytes
+      val ptr = java.nio.file.Paths.get(base, "idx._current")
+      assert(java.nio.file.Files.exists(ptr), "pointer object must exist")
+      val version = java.nio.file.Files.readString(ptr).trim
+      assert(version.startsWith("idx.v-"), version)
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(base, version, "_index_manifest.txt")))
+      // serving resolves through the pointer and matches the scan-based path
+      val q = Array.tabulate(16)(d => math.sin(11 * 0.37 + d * 1.3).toFloat)
+      val scanned = Embeddings.lshTopK(emb, q, 5)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      val indexed = Embeddings.lshTopKIndexed(spark, path, q, 5)
+        .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9))).toSeq
+      assert(indexed == scanned)
+      // idempotent rebuild: the pointer is the completeness gate
+      Embeddings.lshBuildIndex(emb, path)
+      assert(java.nio.file.Files.readString(ptr).trim == version)
+      // GC: a dead superseded version ages out, the live version + pointer stay
+      val dead = java.nio.file.Paths.get(base, "idx.v-dead0000")
+      java.nio.file.Files.createDirectories(dead)
+      Embeddings.pruneStaleIndexes(base, "idx", keep = "idx", minAgeMs = 0L)
+      assert(!java.nio.file.Files.exists(dead), "superseded version reclaimed")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(base, version)))
+      assert(java.nio.file.Files.exists(ptr))
+      // a gate-less path must fail LOUDLY, never scan a partial publish
+      intercept[IllegalArgumentException](
+        Embeddings.lshTopKIndexed(spark, base + "/never-published", q, 3).collect())
+    } finally hc.unset("graft.fs.atomic.rename")
+  }
+
   test("extract pipeline records bucket stats and a bucket read plans fewer files") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("stats_e2e")
