@@ -158,7 +158,21 @@ final class GraftIo(base: String, userConf: Configuration) {
     * class provides differently (see class doc).
     */
   def casPromoteFile(src: HPath, dst: HPath): Boolean =
-    if (scheme == "file") {
+    // atomicRename gates FIRST: the conf override ("treat this store as
+    // non-atomic") must win over the file: fast path, or the object-store
+    // protocol could never be exercised on local test disks
+    if (!atomicRename) {
+      if (conf.getBoolean("graft.fs.cas.unsafe", false)) {
+        // documented last-writer-wins: object stores have no exclusive-create
+        // through this API — a real deployment points the commit at a catalog
+        // or lock service instead of opting in here
+        if (exists(dst)) false
+        else { writeDirect(dst, readString(src)); delete(src); true }
+      } else sys.error(
+        s"store '$scheme' has no atomic rename: the snapshot-commit CAS cannot " +
+          "be exclusive. Use a lock/catalog service, or accept last-writer-wins " +
+          "with graft.fs.cas.unsafe=true")
+    } else if (scheme == "file") {
       val s = java.nio.file.Paths.get(src.toUri.getPath)
       val d = java.nio.file.Paths.get(dst.toUri.getPath)
       try {
@@ -166,22 +180,13 @@ final class GraftIo(base: String, userConf: Configuration) {
         java.nio.file.Files.delete(s)
         true
       } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else if (atomicRename) {
+    } else {
       try { fc.rename(src, dst, Options.Rename.NONE); true }
       catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    } else if (conf.getBoolean("graft.fs.cas.unsafe", false)) {
-      // documented last-writer-wins: object stores have no exclusive-create
-      // through this API — a real deployment points the commit at a catalog
-      // or lock service instead of opting in here
-      if (exists(dst)) false
-      else { writeDirect(dst, readString(src)); delete(src); true }
-    } else sys.error(
-      s"store '$scheme' has no atomic rename: the snapshot-commit CAS cannot " +
-        "be exclusive. Use a lock/catalog service, or accept last-writer-wins " +
-        "with graft.fs.cas.unsafe=true")
+    }
 
   /** Promote a staged DIRECTORY to its final name iff absent (no hard-link
     * trick exists for directories; FileContext's no-overwrite rename is the

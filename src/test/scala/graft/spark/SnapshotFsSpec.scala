@@ -314,6 +314,43 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally hc.unset("graft.fs.atomic.rename")
   }
 
+  test("non-atomic store protocol: snapshot commits PUT metadata directly; CAS refused without opt-in") {
+    val sp = spark; import sp.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("graft.fs.atomic.rename", false)
+    try {
+      val rows = spark.range(120).select(col("id"), (col("id") % 7).as("v"))
+      // without the opt-in, the commit CAS must fail LOUDLY: object stores
+      // have no exclusive-create through this API
+      val dirStrict = tmpDir("nonatomic_strict")
+      val logStrict = new SnapshotLog(dirStrict)
+      rows.limit(10).repartition(1)
+        .write.mode("overwrite").parquet(logStrict.stageDataDir(0L))
+      val e = intercept[RuntimeException](logStrict.commit(0L))
+      assert(e.getMessage.contains("graft.fs.cas.unsafe"), e.getMessage)
+      // with the documented last-writer-wins opt-in, the single-writer
+      // lifecycle works end-to-end on direct-PUT metadata
+      hc.setBoolean("graft.fs.cas.unsafe", true)
+      val dir = tmpDir("nonatomic_snap")
+      val log = new SnapshotLog(dir)
+      rows.filter(col("id") < 60).repartition(3)
+        .write.mode("overwrite").parquet(log.stageDataDir(0L))
+      log.commit(0L)
+      rows.filter(col("id") >= 60).repartition(3)
+        .write.mode("overwrite").parquet(log.stageDataDir(1L))
+      log.commit(1L)
+      assert(log.scan(spark, rows.schema).count() == 120)
+      assert(log.scanIncremental(spark, rows.schema, 0L)
+        .select("id").collect().map(_.getLong(0)).toSet == (60L until 120L).toSet)
+      assert(log.compact(spark, rows.schema, targetFiles = 2).contains(2L))
+      log.expireSnapshots(keepLast = 1)
+      assert(log.scan(spark, rows.schema).count() == 120)
+      // no .tmp staging residue: metadata was written directly at final names
+      val metaNames = new java.io.File(dir, "meta").listFiles().map(_.getName)
+      assert(!metaNames.exists(_.endsWith(".tmp")), metaNames.mkString(","))
+    } finally { hc.unset("graft.fs.atomic.rename"); hc.unset("graft.fs.cas.unsafe") }
+  }
+
   test("extract pipeline records bucket stats and a bucket read plans fewer files") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("stats_e2e")
