@@ -375,7 +375,12 @@ object Embeddings {
     */
   private def publishComplete(io: GraftIo, dir: HPath): Boolean =
     if (io.atomicRename) io.exists(new HPath(dir, "_SUCCESS"))
-    else io.exists(versionPtr(dir))
+    // the `_graft_published` probe accepts indexes from the short-lived
+    // in-place marker protocol this round used before versioned pointers —
+    // complete content at the target name, served via indexRoot's no-pointer
+    // fallback rather than refused or silently retrained
+    else io.exists(versionPtr(dir)) ||
+      io.exists(new HPath(dir, "_graft_published"))
 
   private def versionPtr(target: HPath): HPath =
     new HPath(target.getParent, target.getName + "._current")
@@ -590,16 +595,23 @@ object Embeddings {
     val cutoff = System.currentTimeMillis() - minAgeMs
     // on non-atomic stores the live index is `keep`'s pointer + the
     // versioned dir it names — both must survive the sweep with `keep`
+    // (pointer name through versionPtr: ONE definition of the commit
+    // pointer, or GC would desynchronize from the publish protocol)
     val keepSet: Set[String] = {
-      val ptr = new HPath(io.root, keep + "._current")
+      val ptr = versionPtr(new HPath(io.root, keep))
       val pointed =
         if (io.exists(ptr)) Some(io.readString(ptr).trim) else None
-      Set(keep, keep + "._current") ++ pointed
+      Set(keep, ptr.getName) ++ pointed
     }
     io.list(io.root).filter { st =>
       val n = st.getPath.getName
-      n.startsWith(prefix) && !keepSet.contains(n) &&
-        st.getModificationTime <= cutoff
+      // age by the NEWEST CONTENT, not the top-level dir's mtime: a long
+      // in-flight publish writes into bucket=*/cell=* subdirs without
+      // touching its top dir's mtime — the per-directory-contents gate
+      // removeOrphanFiles uses, for the same concurrent-writer reason
+      lazy val newest = io.walkFiles(st.getPath).map(_.getModificationTime)
+        .maxOption.getOrElse(st.getModificationTime)
+      n.startsWith(prefix) && !keepSet.contains(n) && newest <= cutoff
     }.foreach(st => io.delete(st.getPath, recursive = true): Unit)
   }
 

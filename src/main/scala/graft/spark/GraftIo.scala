@@ -219,10 +219,13 @@ object GraftIo {
     import scala.jdk.CollectionConverters._
     // the FULL fingerprint string is the key — a 32-bit hash would hand one
     // conf's FileSystem (credentials!) to another on a collision, silently
+    // fs.* only: graft.* flags change GraftIo behavior, never FileSystem
+    // construction — keying on them would allocate a separate never-closed
+    // RPC client per flag combination on one endpoint
     val fp = conf.iterator().asScala
       .map(e => (e.getKey, e.getValue))
-      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("graft.") }
-      .toSeq.sorted.mkString(" ")
+      .filter { case (k, _) => k.startsWith("fs.") }
+      .toSeq.sorted.mkString("\n")
     val key = String.valueOf(uri.getScheme) + "://" +
       String.valueOf(uri.getAuthority) + "#" + fp
     fsCache.computeIfAbsent(key, _ => FileSystem.newInstance(uri, conf))

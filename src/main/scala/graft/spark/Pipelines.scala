@@ -99,7 +99,13 @@ object Pipelines {
   def appendDeduped(spark: SparkSession, fresh: DataFrame,
       dedupedDir: String): (Option[Long], Long) = {
     val dlog = new SnapshotLog(dedupedDir)
-    val existing = dlog.scan(spark, dedupedSchema).select("fp")
+    // the anti-join is derived from THIS snapshot: the commit below is
+    // conditional on it still being the parent, so an overlapping pipeline
+    // turn deduping the same slice cannot land the same rows twice (one
+    // loses loudly and its rerun re-derives — round-5 review pass 3; plain
+    // OCC would have happily committed both appends)
+    val base = dlog.currentSnapshot()
+    val existing = dlog.scan(spark, dedupedSchema, asOf = base).select("fp")
     val withFp = fresh.withColumn("fp", md5(col("text").cast("binary")))
     // in-batch representative: min url per digest — deterministic under any
     // partitioning (first-seen would depend on scan order)
@@ -118,6 +124,8 @@ object Pipelines {
       dlog.abortStage(stage)
       (None, 0L)
     } else
-      (Some(dlog.commitOptimistic(stage, statsColumns = Seq("bucket"))), n)
+      try (Some(dlog.commitOptimistic(stage, statsColumns = Seq("bucket"),
+        requireParent = Some(base.getOrElse(-1L)))), n)
+      catch { case e: Throwable => dlog.abortStage(stage); throw e }
   }
 }

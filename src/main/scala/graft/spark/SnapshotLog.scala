@@ -318,13 +318,22 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * Returns the committed id.
     */
   def commitOptimistic(stagedDir: String, statsColumns: Seq[String] = Nil,
-      maxAttempts: Int = 10): Long = {
+      maxAttempts: Int = 10, requireParent: Option[Long] = None): Long = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     io.mkdirs(metaDir)
     val staged = stagedStatuses(io.qualify(new HPath(stagedDir)))
     var attempt = 0
     while (attempt < maxAttempts) {
       val parent = currentSnapshot().getOrElse(-1L)
+      // conditional append: the caller DERIVED its staged content from
+      // `requireParent`'s snapshot (e.g. an anti-join against it) — landing
+      // on any other parent could double-apply or contradict that derivation,
+      // so the conflict must surface loudly for the caller to recompute
+      requireParent.filter(_ != parent).foreach { exp =>
+        throw new IllegalStateException(
+          s"table advanced to snapshot $parent while this append was derived " +
+            s"from $exp — recompute against the current snapshot and retry")
+      }
       val id = parent + 1
       val (parentSegments, parentInline) =
         if (parent >= 0) parseList(parent) else (Seq.empty[String], Seq.empty[String])
@@ -799,12 +808,17 @@ object SnapshotLog {
   final case class FileMeta(path: String, size: Option[Long],
       stats: Map[String, (Long, Long)])
 
-  /** The active Spark session's Hadoop configuration when one exists (so
-    * `fs.*` settings the deployment configured apply to table IO), else
-    * vanilla defaults. SnapshotLog is driver-side only.
+  /** The active (thread-local) or default (process-global) Spark session's
+    * Hadoop configuration when one exists (so `fs.*` settings the deployment
+    * configured apply to table IO), else vanilla defaults. The default-
+    * session fallback matters: serving calls arrive on arbitrary threads,
+    * and a thread without the active-session thread-local must not resolve
+    * to a credential-less vanilla conf (which per-path memoization would
+    * then pin). SnapshotLog is driver-side only.
     */
   def defaultHadoopConf(): Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 }

@@ -1305,7 +1305,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val compactJob = pool.submit(new java.util.concurrent.Callable[Option[Long]] {
       def call(): Option[Long] =
         try new SnapshotLog(dir).compact(spark, rows.schema, targetFiles = 2)
-        catch { case _: IllegalStateException => None } // loud loss is the contract
+        // loud failure is the contract under a race; the exact type depends
+        // on which guard fires first (CAS conflict = IllegalState, contiguity
+        // require = IllegalArgument)
+        catch { case _: IllegalStateException | _: IllegalArgumentException => None }
     })
     val appender = new SnapshotLog(dir)
     for (i <- 0 until 3) {
