@@ -169,6 +169,29 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.scan(spark, rows.schema).count() == 30)
   }
 
+  test("commitOptimistic(requireParent): an append derived from a stale snapshot fails loudly") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("occ_guard")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(40).select(col("id"), (col("id") % 3).as("v"))
+    rows.limit(10).repartition(1).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    // two "turns" both derive from snapshot 0 (the overlapping-pipeline
+    // shape: each anti-joined its slice against snapshot 0's digests)
+    val s1 = log.stageUniqueDataDir(); val s2 = log.stageUniqueDataDir()
+    rows.filter(col("id") >= 10 && col("id") < 20).repartition(1)
+      .write.mode("overwrite").parquet(s1)
+    rows.filter(col("id") >= 10 && col("id") < 20).repartition(1)
+      .write.mode("overwrite").parquet(s2) // same rows: the double-append hazard
+    assert(log.commitOptimistic(s1, requireParent = Some(0L)) == 1L)
+    val e = intercept[IllegalStateException](
+      log.commitOptimistic(s2, requireParent = Some(0L)))
+    assert(e.getMessage.contains("advanced"), e.getMessage)
+    assert(log.scan(spark, rows.schema).count() == 20, "no double append")
+    // a plain (unconditional) append still lands on the new parent
+    assert(log.commitOptimistic(s2) == 2L)
+  }
+
   test("manifest column stats: commit records bucket min/max; scan skips files") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("stats")
