@@ -285,6 +285,46 @@ object Queries {
         |)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS component
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+    // t17: t15's closure, applied — survivors are the level-corpus ids NOT
+    // dropped as a non-representative cluster member (representative = min
+    // reachable id = the component label connectedComponents converges to)
+    "t17_dedup_apply" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents
+        |  WHERE len(string_split_regex(regexp_replace(text, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$)', '', 'g'), '[ \t\n\x0b\f\r]+')) >= 6
+        |), lvl AS (
+        |  SELECT doc_id AS id, t FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    regexp_replace(t, '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$', '') FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    regexp_replace(regexp_replace(t, '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$', ''),
+        |      '[ \t\n\x0b\f\r]+[^ \t\n\x0b\f\r]+$', '') FROM base
+        |), tri AS (
+        |  SELECT id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM (SELECT id, string_split_regex(regexp_replace(t, '(^[ \t\n\x0b\f\r]+)|([ \t\n\x0b\f\r]+$)', '', 'g'), '[ \t\n\x0b\f\r]+') AS w FROM lvl)
+        |), cand AS (
+        |  SELECT doc_id AS a, doc_id + 1000000 AS b FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, doc_id + 2000000 FROM base
+        |), ver AS (
+        |  SELECT c.a, c.b FROM cand c
+        |  JOIN tri ta ON ta.id = c.a JOIN tri tb ON tb.id = c.b
+        |  WHERE 2 * len(list_intersect(ta.sh, tb.sh))
+        |    >= len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))
+        |), ed AS (SELECT a, b FROM ver UNION ALL SELECT b AS a, a AS b FROM ver),
+        |reach(id, r) AS (
+        |  SELECT a AS id, a AS r FROM ed
+        |  UNION
+        |  SELECT ed.b AS id, reach.r FROM ed JOIN reach ON reach.id = ed.a
+        |)
+        |SELECT CAST(id AS BIGINT) AS doc_id FROM lvl
+        |WHERE id NOT IN (
+        |  SELECT id FROM (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |  WHERE id <> component)
+        |ORDER BY doc_id""".stripMargin,
     // t16: wordcount head; ORDER BY (n DESC, tok) makes the LIMIT boundary
     // deterministic in both engines
     "t16_top_tokens" ->
@@ -971,6 +1011,48 @@ object Queries {
       Dedup.connectedComponents(verified.select("a", "b"))
         .select(col("id"), col("component"))
         .orderBy("id")
+    }),
+    "t17_dedup_apply" -> ((s, dir) => {
+      // C19/P18: the dedup pipeline APPLIED — t15's cluster formation
+      // (3-level corpus, adjacent-pair integer-Jaccard verify, connected
+      // components) produces the drop keys (cluster members minus their
+      // min-id representative), and SnapshotLog.deleteMatching materializes
+      // the removal as a copy-on-write rewrite of ONLY the files holding
+      // dropped rows, in a snapshot table built from the same corpus. The
+      // output is the SURVIVING corpus, row-checked against the oracle's
+      // NOT IN over the same recursive-CTE closure. Idempotent: a re-run on
+      // the already-deduped table head is a no-op delete (locate finds no
+      // matching row -> no commit), so the stamp-keyed table re-serves.
+      val off = 1000000L
+      val base = docs(s, dir)
+        .filter(size(wsToks(col("text"))) >= 6)
+        .select(col("doc_id"), col("text"))
+      val l1 = base.select((col("doc_id") + off).as("doc_id"),
+        Dedup.dropLastWord(col("text")).as("text"))
+      val l2 = base.select((col("doc_id") + 2 * off).as("doc_id"),
+        Dedup.dropLastWord(Dedup.dropLastWord(col("text"))).as("text"))
+      val corpus = base.unionByName(l1).unionByName(l2)
+      // the table under delete: stamp-keyed like the ANN indexes (rebuilt
+      // only when the fixture regenerates; bump v on corpus-shape changes)
+      val tblBase = sys.props("java.io.tmpdir") + "/graft_delete_table"
+      val dirKey = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+      val tblName = dirKey + "_v1_" + corpusStamp(s"$dir/documents.parquet")
+      val log = new SnapshotLog(s"$tblBase/$tblName")
+      if (log.currentSnapshot().isEmpty) {
+        corpus.repartition(4).write.mode("overwrite").parquet(log.stageDataDir(0L))
+        log.commit(0L)
+      }
+      Embeddings.pruneStaleIndexes(tblBase, dirKey + "_", tblName)
+      val cand = base.select(col("doc_id").as("a"), (col("doc_id") + off).as("b"))
+        .unionByName(base.select((col("doc_id") + off).as("a"),
+          (col("doc_id") + 2 * off).as("b")))
+      val verified = Dedup.verifyJaccard(cand, corpus, "doc_id", "text")
+        .filter(col("jaccard_exact") >= 0.5)
+      val drops = Dedup.connectedComponents(verified.select("a", "b"))
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      log.deleteMatching(s, corpus.schema, drops, "doc_id")
+      log.scan(s, corpus.schema).select(col("doc_id")).orderBy("doc_id")
     }),
     "t11_minhash_twin" -> ((s, dir) => {
       // the MinHash SIGNATURE machinery (tokenize -> word-trigram shingles ->

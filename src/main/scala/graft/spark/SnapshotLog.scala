@@ -760,6 +760,186 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     else spark.read.schema(schema).parquet(files: _*)
   }
 
+  /** Copy-on-write row-level DELETE — the `DELETE FROM t WHERE p` analog
+    * (Iceberg copy-on-write delete semantics, re-derived; no reference
+    * counterpart — the reference can only rewrite whole batch JSONs,
+    * `extractor.py:119-122`). Two phases:
+    *
+    *   1. LOCATE: plan the current snapshot's scan WITH the predicate —
+    *      manifest column stats prune non-matching files at planning time
+    *      ([[ManifestFileIndex]]), parquet row-group stats prune below — and
+    *      collect the distinct data-file paths holding at least one matching
+    *      row (a columnar read of the predicate columns only, over
+    *      stats-surviving files only).
+    *   2. REWRITE: read ONLY the affected files and write back the rows the
+    *      delete keeps — `NOT coalesce(p, false)`, because SQL DELETE removes
+    *      rows where `p` IS TRUE and KEEPS null-predicate rows (a bare
+    *      `filter(!p)` would silently delete them). Every untouched file is
+    *      carried into the new snapshot BY REFERENCE: at 100 TB a delete
+    *      touching 0.1% of files moves 0.1% of the bytes.
+    *
+    * The commit is a REWRITE commit ([[commitRewrite]]): metadata cost is
+    * O(affected segments + staged files), never O(live files). Removed files
+    * stay on disk referenced by prior manifests — time travel sees the
+    * pre-delete table until [[expireSnapshots]] reclaims it. Incremental
+    * readers fail loudly across the delete ([[filesAddedBetween]]'s
+    * carried-segment check), which is correct: a delete is a rewrite, not an
+    * append — its rows must not be replayed as new data.
+    *
+    * Returns the committed snapshot id, or None when no row matched (no
+    * commit — the table head is untouched). A commit landing between the
+    * phases makes the manifest CAS fail loudly (the rewrite was derived from
+    * the parent snapshot), exactly like [[compact]]: recompute and retry.
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      predicate: org.apache.spark.sql.Column,
+      statsColumns: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    val parent = currentSnapshot().getOrElse(return None)
+    // filter FIRST, name files after: the predicate pushes to the scan (so
+    // manifest-stats pruning applies), and input_file_name stays over a
+    // single file source
+    val affected = affectedFiles(parent, scan(spark, schema, asOf = Some(parent))
+      .filter(predicate).select(input_file_name().as("f")))
+    if (affected.isEmpty) None
+    else Some(rewriteExcluding(spark, schema, parent, affected,
+      df => df.filter(not(coalesce(predicate, lit(false)))), statsColumns))
+  }
+
+  /** Key-set DELETE: remove every row whose `keyCol` appears in `keys` — the
+    * shape a dedup pipeline produces (P17 cluster members minus their
+    * representative) and the reason this exists: near-duplicate REMOVAL at
+    * corpus scale must be a metadata-preserving rewrite of the affected
+    * files, not a full-table `filter().write()` round trip. The drop set is
+    * a DataFrame (not a driver-side collection): locating affected files is
+    * a semi-join, the rewrite an anti-join, both planned by Catalyst/AQE
+    * (broadcast when the drop set is small, shuffle when it is not). Same
+    * commit/no-op/failure semantics as [[deleteWhere]].
+    */
+  def deleteMatching(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      keys: org.apache.spark.sql.DataFrame, keyCol: String,
+      statsColumns: Seq[String] = Nil): Option[Long] = {
+    import org.apache.spark.sql.functions.input_file_name
+    val parent = currentSnapshot().getOrElse(return None)
+    // distinct drop keys: duplicate keys are legal input and must not change
+    // join multiplicity on the locate side
+    val k = keys.select(keyCol).distinct()
+    // the file name is computed on the scan side BEFORE the join:
+    // input_file_name() over a join of two file sources (the usual dedup
+    // shape — the drop set derives from this very table) is ambiguous and
+    // rejected by the analyzer
+    val affected = affectedFiles(parent, scan(spark, schema, asOf = Some(parent))
+      .withColumn("__graft_file", input_file_name())
+      .join(k, Seq(keyCol), "left_semi")
+      .select(org.apache.spark.sql.functions.col("__graft_file").as("f")))
+    if (affected.isEmpty) None
+    else Some(rewriteExcluding(spark, schema, parent, affected,
+      df => df.join(k, Seq(keyCol), "left_anti"), statsColumns))
+  }
+
+  /** Manifest paths of the files named by `fileNames` (a one-column
+    * DataFrame of `input_file_name()` values). The reader reports URI form
+    * (`file:///a/b`) while manifest entries are extern'd (`/a/b` for
+    * plain-local tables), so both sides compare on the URI path component —
+    * sound within one table, whose files all live under one root.
+    */
+  private def affectedFiles(snapshotId: Long,
+      fileNames: org.apache.spark.sql.DataFrame): Set[String] = {
+    def norm(s: String): String = {
+      val u = new HPath(s).toUri
+      Option(u.getPath).getOrElse(s)
+    }
+    val byNorm = filesAt(snapshotId).map(p => norm(p) -> p).toMap
+    fileNames.distinct()
+      .collect().map(_.getString(0))
+      .map(f => byNorm.getOrElse(norm(f), sys.error(
+        s"scan read $f, which snapshot $snapshotId's manifest does not list — " +
+          "manifest/scan mismatch")))
+      .toSet
+  }
+
+  /** Shared rewrite half of the delete operators: stage `survivors(affected
+    * rows)` under a unique temp dir, promote it to the next snapshot's data
+    * dir, and commit a rewrite manifest. Same unique-staging crash story as
+    * [[compact]]: a crash leaves only an aged temp dir for
+    * [[removeOrphanFiles]]; an occupied destination or lost CAS fails loudly
+    * rather than absorbing a concurrent writer.
+    */
+  private def rewriteExcluding(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      parent: Long, affected: Set[String],
+      survivors: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      statsColumns: Seq[String]): Long = {
+    val id = parent + 1
+    val tmp = new HPath(root,
+      "data/.delete-" + java.util.UUID.randomUUID().toString)
+    try {
+      survivors(spark.read.schema(schema).parquet(affected.toSeq.sorted: _*))
+        .write.mode("overwrite").parquet(io.extern(tmp))
+      val dest = dataDirPath(id)
+      if (io.exists(dest))
+        throw new IllegalStateException(
+          s"snapshot $id already staged at $dest — concurrent writer or " +
+            "crashed stage; abort it (or let removeOrphanFiles age it out) " +
+            "before deleting")
+      io.mkdirs(dest.getParent)
+      if (!io.promoteDir(tmp, dest))
+        throw new IllegalStateException(
+          s"snapshot $id was staged at $dest while the delete rewrite ran — " +
+            "concurrent writer; recompute the delete against the new head")
+      try commitRewrite(id, parent, affected, statsColumns)
+      catch { case e: Throwable => abort(id); throw e }
+    } finally {
+      if (io.exists(tmp)) io.delete(tmp, recursive = true): Unit
+    }
+  }
+
+  /** Commit a snapshot whose content is `parent` minus `removed` files plus
+    * whatever is staged under the snapshot's data dir. Parent segments with
+    * no removed file are carried BY REFERENCE; a segment that lost files is
+    * rewritten minus those entries — its surviving lines copied VERBATIM
+    * (sizes and column stats preserved without re-reading a single footer) —
+    * so metadata cost is O(affected segments), the Iceberg manifest-rewrite
+    * shape, never O(live files). Parent inline (legacy) entries fold into
+    * the fresh segment exactly as an append commit folds them.
+    */
+  private def commitRewrite(id: Long, parent: Long, removed: Set[String],
+      statsColumns: Seq[String]): Long = {
+    val (parentSegments, parentInline) = parseList(parent)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val keptInline = parentInline.filterNot(f => removed.contains(io.extern(io.path(f))))
+    var ownSegs = List.empty[HPath]
+    val carried: Seq[String] = parentSegments.flatMap { sg =>
+      val lines = io.readString(io.path(sg)).split('\n').toSeq.filter(_.nonEmpty)
+      val (gone, kept) = lines.partition { l =>
+        l.startsWith("file\t") && removed.contains(io.extern(io.path(l.split('\t')(1))))
+      }
+      if (gone.isEmpty) Some(sg)
+      else if (!kept.exists(_.startsWith("file\t"))) None // segment fully deleted
+      else {
+        val p = segmentPath(s"seg-$id-rw${ownSegs.size}-$token.txt")
+        io.writeAtomic(p, kept.mkString("", "\n", "\n"))
+        ownSegs ::= p
+        Some(io.relativize(p))
+      }
+    }
+    val segments = writeSegment(s"seg-$id-$token.txt", id, carried, keptInline,
+      stagedStatuses(dataDirPath(id)), statsColumns)
+    if (promoteManifest(id, parent, segments, tmpName = s"snap-$id.txt.rw-$token.tmp")) {
+      bumpHint(id); id
+    } else {
+      // own segments = the fresh one AND every rewritten `-rw` one (both
+      // carry the seg-<id>- prefix); all are unreferenced after a lost CAS
+      segments.filter(isOwnSegment(_, id)).foreach(sg => io.delete(io.path(sg)))
+      throw new IllegalStateException(
+        s"snapshot $id was committed concurrently while the delete rewrite " +
+          "ran — the rewrite listed stale content; recompute against the new " +
+          "head and retry")
+    }
+  }
+
   /** Abort a unique staging dir created by [[stageUniqueDataDir]]. */
   def abortStage(stagedDir: String): Unit = {
     val p = io.qualify(new HPath(stagedDir))

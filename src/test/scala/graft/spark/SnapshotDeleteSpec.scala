@@ -1,0 +1,174 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C19 — copy-on-write row-level delete. The invariants under test: only
+  * files holding matching rows are rewritten (every other file carries into
+  * the new snapshot by PATH IDENTITY — the 100-TB property: a delete touching
+  * 0.1% of files moves 0.1% of the bytes), SQL DELETE null semantics
+  * (null-predicate rows are KEPT), no-op deletes commit nothing, history
+  * stays time-travel-able until expire reclaims it, incremental readers fail
+  * loudly across the rewrite, and the dedup-apply composition (P17 cluster
+  * drops → [[SnapshotLog.deleteMatching]]) removes exactly the
+  * non-representative duplicates.
+  */
+class SnapshotDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = { spark = SparkTestSession.create(4) }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), prefix).toAbsolutePath.toString
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  test("deleteWhere rewrites only affected files; untouched files carry by path identity") {
+    val dir = tmpDir("del_cow")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(50).select(col("id"), (col("id") % 10).as("b"))
+    // one commit, two files with disjoint bucket ranges (subdirs under the
+    // stage are legal — staging walks recursively), stats recorded on b
+    val stage = log.stageDataDir(0L)
+    rows.filter(col("b") < 5).repartition(1).write.parquet(stage + "/lo")
+    rows.filter(col("b") >= 5).repartition(1).write.parquet(stage + "/hi")
+    log.commit(0L, statsColumns = Seq("b"))
+    val before = log.filesAt(0L)
+    assert(before.size == 2)
+
+    val r = log.deleteWhere(spark, rows.schema, col("b") === 7, statsColumns = Seq("b"))
+    assert(r.contains(1L))
+    assert(idsOf(log.scan(spark, rows.schema)) ==
+      (0L until 50L).filterNot(_ % 10 == 7).sorted)
+
+    val after = log.filesAt(1L).toSet
+    val lo = before.filter(_.contains("/lo/"))
+    val hi = before.filter(_.contains("/hi/"))
+    assert(lo.nonEmpty && hi.nonEmpty)
+    assert(lo.forall(after.contains), "file with no matching row must carry by reference")
+    assert(hi.forall(p => !after.contains(p)), "file holding matches must be rewritten")
+    assert((after -- before).forall(_.contains("snap-1")), "rewrites stage under the new snapshot")
+    // rewritten files still carry stats (recorded at rewrite commit)
+    assert(log.metaAt(1L).forall(m => m.stats.contains("b")))
+
+    // pre-delete history is intact until expire gives it up
+    assert(idsOf(log.scan(spark, rows.schema, asOf = Some(0L))) == (0L until 50L))
+    // a delete is a rewrite, not an append: incremental readers must not
+    // silently replay rewritten rows
+    val e = intercept[IllegalArgumentException](
+      log.scanIncremental(spark, rows.schema, 0L))
+    assert(e.getMessage.contains("replace") || e.getMessage.contains("carry"), e.getMessage)
+  }
+
+  test("deleteWhere: NULL-predicate rows are KEPT (SQL DELETE semantics)") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("del_null")
+    val log = new SnapshotLog(dir)
+    val df = Seq((1L, "aaaa"), (2L, null: String), (3L, "bb"))
+      .toDF("id", "s")
+    df.repartition(1).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    // p = length(s) >= 3 is NULL for id=2 — DELETE removes only TRUE rows
+    val r = log.deleteWhere(spark, df.schema, length(col("s")) >= 3)
+    assert(r.contains(1L))
+    assert(idsOf(log.scan(spark, df.schema)) == Seq(2L, 3L),
+      "the null-predicate row must survive the delete")
+  }
+
+  test("deleteWhere with no matching row is a no-op: no commit, None returned") {
+    val dir = tmpDir("del_noop")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(20).select(col("id"), (col("id") % 5).as("b"))
+    rows.repartition(2).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    assert(log.deleteWhere(spark, rows.schema, col("b") === 99).isEmpty)
+    assert(log.currentSnapshot().contains(0L))
+    assert(log.scan(spark, rows.schema).count() == 20)
+    // empty table: also a no-op
+    val empty = new SnapshotLog(tmpDir("del_empty"))
+    assert(empty.deleteWhere(spark, rows.schema, col("b") === 1).isEmpty)
+  }
+
+  test("deleteMatching drops a key set via anti-join; duplicate keys tolerated") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("del_keys")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(100).select(col("id"), (col("id") % 10).as("b"))
+    rows.filter(col("id") < 60).repartition(2)
+      .write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    rows.filter(col("id") >= 60).repartition(2)
+      .write.mode("overwrite").parquet(log.stageDataDir(1L))
+    log.commit(1L)
+
+    val drops = Seq(3L, 3L, 7L, 70L, 7L).toDF("id") // dup keys are legal input
+    val r = log.deleteMatching(spark, rows.schema, drops, "id")
+    assert(r.contains(2L))
+    assert(idsOf(log.scan(spark, rows.schema)) ==
+      (0L until 100L).filterNot(Set(3L, 7L, 70L)).sorted)
+    // same drop set again: nothing left to delete
+    assert(log.deleteMatching(spark, rows.schema, drops, "id").isEmpty)
+    assert(log.currentSnapshot().contains(2L))
+  }
+
+  test("delete everything leaves an empty but appendable table") {
+    val dir = tmpDir("del_all")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(30).select(col("id"), (col("id") % 3).as("b"))
+    rows.repartition(2).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    assert(log.deleteWhere(spark, rows.schema, lit(true)).contains(1L))
+    assert(log.scan(spark, rows.schema).count() == 0)
+    // the table keeps working: the next append lands on the empty head
+    spark.range(100, 110).select(col("id"), (col("id") % 3).as("b"))
+      .repartition(1).write.mode("overwrite").parquet(log.stageDataDir(2L))
+    log.commit(2L)
+    assert(idsOf(log.scan(spark, rows.schema)) == (100L until 110L))
+  }
+
+  test("expire after delete reclaims exactly the removed files") {
+    val dir = tmpDir("del_gc")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(40).select(col("id"), (col("id") % 4).as("b"))
+    val stage = log.stageDataDir(0L)
+    rows.filter(col("b") < 2).repartition(1).write.parquet(stage + "/lo")
+    rows.filter(col("b") >= 2).repartition(1).write.parquet(stage + "/hi")
+    log.commit(0L, statsColumns = Seq("b"))
+    val hi = log.filesAt(0L).filter(_.contains("/hi/"))
+    log.deleteWhere(spark, rows.schema, col("b") === 3, statsColumns = Seq("b"))
+    // removed files exist while snapshot 0 is retained (time travel)…
+    assert(hi.forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    log.expireSnapshots(keepLast = 1)
+    // …and are reclaimed with it; carried files survive
+    assert(hi.forall(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+    assert(idsOf(log.scan(spark, rows.schema)) ==
+      (0L until 40L).filterNot(_ % 4 == 3).sorted)
+  }
+
+  test("dedup-apply: P17 cluster drops materialize via deleteMatching") {
+    val dir = tmpDir("del_dedup")
+    val log = new SnapshotLog(dir)
+    // 30 docs in 10 exact-duplicate groups of 3 (id % 10 keys the content)
+    val docs = spark.range(30).select(col("id"),
+      concat(lit("document body number "), col("id") % 10).as("text"))
+    docs.repartition(3).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+
+    val table = log.scan(spark, docs.schema)
+    // P1/P17 shape: group by content, keep the min id, drop the rest
+    val keep = table.groupBy("text").agg(min("id").as("keep_id"))
+    val drops = table.join(keep, Seq("text"))
+      .filter(col("id") =!= col("keep_id")).select("id")
+    val r = log.deleteMatching(spark, docs.schema, drops, "id")
+    assert(r.contains(1L))
+    val survivors = log.scan(spark, docs.schema)
+    assert(survivors.count() == 10)
+    assert(survivors.select("text").distinct().count() == 10)
+    assert(idsOf(survivors) == (0L until 10L), "the representative (min id) survives")
+  }
+}

@@ -42,7 +42,7 @@ class SnapshotModelSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     var ops = 0
     for (step <- 1 to 40) {
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(12)
       op match {
         case 0 | 1 | 2 | 3 => // append commit of 1-20 fresh rows; op 3 goes
           // through the optimistic path (unique staging dir, id allocated at
@@ -110,6 +110,21 @@ class SnapshotModelSpec extends AnyFunSuite with BeforeAndAfterAll {
         // (removeOrphanFiles must not reclaim it inside the age window; a
         // later commit colliding with the id is prevented by monotonic ids
         // only under single-writer — here ids advance past it eventually)
+        case 10 | 11 => // copy-on-write delete of a random id range (C19)
+          if (current.nonEmpty) {
+            val lo = current(rnd.nextInt(current.size))
+            val hi = lo + 1 + rnd.nextInt(10)
+            try log.deleteWhere(spark, schema,
+                col("id") >= lo && col("id") < hi).foreach { id =>
+              current = current.filterNot(i => i >= lo && i < hi)
+              history += id -> current
+            } catch {
+              case _: IllegalStateException =>
+                // crashed-stage residue occupies the next id — same remedy
+                // as compact: abort the dead stage, retry next time around
+                log.abort(log.nextSnapshotId())
+            }
+          }
       }
       ops += 1
       assert(scanIds() == current, s"step $step (op $op): scan != model")
