@@ -135,7 +135,8 @@ final class ManifestFileIndex(tableRoot: String, entries: Seq[ManifestEntry])
   */
 object ManifestScan {
   def apply(spark: org.apache.spark.sql.SparkSession, tableRoot: String,
-      schema: StructType, entries: Seq[ManifestEntry]): org.apache.spark.sql.DataFrame = {
+      schema: StructType, entries: Seq[ManifestEntry],
+      isStreaming: Boolean = false): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val relation = HadoopFsRelation(
       location = new ManifestFileIndex(tableRoot, entries),
@@ -149,6 +150,9 @@ object ManifestScan {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(spark)
-    org.apache.spark.sql.GraftShim.ofRows(spark, LogicalRelation(relation, false))
+    // isStreaming = true marks the relation as one micro-batch of a stream
+    // (what FileStreamSource/DeltaSource do): the plan participates in
+    // IncrementalExecution instead of being rejected as a batch relation
+    org.apache.spark.sql.GraftShim.ofRows(spark, LogicalRelation(relation, isStreaming))
   }
 }

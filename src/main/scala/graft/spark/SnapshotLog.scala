@@ -717,7 +717,14 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * are rewrites, not appends, and silently returning them would
     * double-count every carried-over row).
     */
-  def filesAddedBetween(fromSnapshot: Long, toSnapshot: Long): Seq[String] = {
+  def filesAddedBetween(fromSnapshot: Long, toSnapshot: Long): Seq[String] =
+    metaAddedBetween(fromSnapshot, toSnapshot).map(_.path)
+
+  /** [[filesAddedBetween]] with full manifest metadata (sizes + stats) per
+    * added file — what a planning consumer (the streaming source) reads, so
+    * tailing stays zero-stat like any other manifest-fed scan.
+    */
+  def metaAddedBetween(fromSnapshot: Long, toSnapshot: Long): Seq[SnapshotLog.FileMeta] = {
     require(fromSnapshot <= toSnapshot,
       s"fromSnapshot $fromSnapshot > toSnapshot $toSnapshot")
     if (fromSnapshot == toSnapshot) return Seq.empty
@@ -742,7 +749,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       s"snapshot $toSnapshot does not carry $fromSnapshot's segments — a " +
         "replace commit intervened; incremental append diff is undefined " +
         "across a table rewrite (re-read the full snapshot instead)")
-    readSegments(toSegs.filterNot(fromSet)).map(_.path)
+    readSegments(toSegs.filterNot(fromSet))
   }
 
   /** Scan only the rows appended after `fromSnapshot` (see
@@ -938,6 +945,39 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
           "ran — the rewrite listed stale content; recompute against the new " +
           "head and retry")
     }
+  }
+
+  /** One micro-batch of the streaming tail ([[SnapshotStreamSource]]): the
+    * rows added in `(fromSnapshot, toSnapshot]` as a streaming-marked
+    * DataFrame planned ENTIRELY from the manifest — sizes (and stats) ride
+    * the segment entries, so tailing performs zero filesystem metadata calls
+    * per batch, exactly like the batch scan. `fromSnapshot = None` is the
+    * initial load: the full content of `toSnapshot`.
+    *
+    * A rewrite commit (replace / compact / delete) between the offsets fails
+    * loudly: its files are REWRITES of already-delivered rows, and replaying
+    * them as appends would duplicate the stream (the same position Delta's
+    * source takes without ignoreChanges) — restart from a fresh checkpoint
+    * to reprocess the rewritten table.
+    */
+  def streamingBatch(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      fromSnapshot: Option[Long], toSnapshot: Long): org.apache.spark.sql.DataFrame = {
+    val meta = fromSnapshot match {
+      case None => metaAt(toSnapshot)
+      case Some(f) =>
+        try metaAddedBetween(f, toSnapshot)
+        catch {
+          case e: IllegalArgumentException => throw new IllegalStateException(
+            s"streaming tail crossed a table rewrite between snapshots $f " +
+              s"and $toSnapshot — a rewrite is not an append and must not be " +
+              "replayed as one; restart the stream from a fresh checkpoint " +
+              "to reprocess the rewritten table", e)
+        }
+    }
+    val entries = meta.map(m => ManifestEntry(m.path,
+      m.size.getOrElse(io.len(new HPath(m.path))), m.stats))
+    ManifestScan(spark, io.extern(root), schema, entries, isStreaming = true)
   }
 
   /** Abort a unique staging dir created by [[stageUniqueDataDir]]. */

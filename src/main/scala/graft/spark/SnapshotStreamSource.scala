@@ -1,0 +1,110 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+/** C20 — Structured Streaming SOURCE over the snapshot log: `spark.readStream
+  * .format("graft-snapshots").schema(s).load(tableDir)` tails append commits
+  * with checkpointed exactly-once offsets. The stream offset IS the snapshot
+  * id, so a micro-batch is a pure metadata operation — the segment-set
+  * difference between two committed snapshots, planned stat-free from the
+  * manifest ([[SnapshotLog.streamingBatch]]) — and recovery replay of a batch
+  * re-reads exactly the same immutable file set. This is the streaming half
+  * of C12's incremental scan: the same `tail`, but with the engine owning
+  * offset persistence, retries, and downstream stateful operators
+  * (watermarked aggregation, dropDuplicates, flatMapGroupsWithState all
+  * compose on top — they see an ordinary streaming relation).
+  *
+  * The V1 `Source` interface is the deliberate choice over a DSv2
+  * `MicroBatchStream`: `getBatch` returns a DataFrame, so the manifest-fed
+  * parquet planning (pushdown, column pruning, file skipping) is reused
+  * verbatim instead of hand-rolling a partition reader — the same trade
+  * Delta Lake's streaming source makes.
+  *
+  * Semantics:
+  *   - no `startingSnapshot` option: the first batch is the FULL table as of
+  *     stream start, then append tailing (Delta's default).
+  *   - `startingSnapshot = <id>`: tail appends strictly AFTER snapshot `id`
+  *     (the committed id a prior batch consumer recorded — handoff from
+  *     batch to streaming without reprocessing).
+  *   - `startingSnapshot = latest`: tail only appends committed after stream
+  *     creation.
+  *   - a REWRITE commit (replace / compact / delete) inside a tailed range
+  *     fails the stream loudly rather than replaying rewritten rows as
+  *     appends; expire must retain snapshots at least as long as the stream
+  *     lags (an expired `from` manifest also fails loudly, never silently).
+  */
+final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-snapshots"
+
+  private def normalized(schema: Option[StructType]): StructType = {
+    val s = schema.getOrElse(throw new IllegalArgumentException(
+      "graft-snapshots needs an explicit .schema(...): the snapshot log " +
+        "stores file inventories, not schemas"))
+    // one nullability surface with every other manifest-planned scan
+    StructType(s.fields.map(_.copy(nullable = true)))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): (String, StructType) =
+    (shortName(), normalized(schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    // options may arrive in caller case — match keys case-insensitively
+    def opt(name: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    val path = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft-snapshots needs a table path: .load(<tableDir>)"))
+    val log = new SnapshotLog(path)
+    val startingAfter = opt("startingSnapshot").map(_.trim).map {
+      case "latest" => log.currentSnapshot().getOrElse(-1L)
+      case n =>
+        try n.toLong
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startingSnapshot must be a snapshot id or 'latest', got '$n'") }
+    }
+    new SnapshotStreamSource(sqlContext, path, log, normalized(schema), startingAfter)
+  }
+}
+
+/** The live source: offsets are snapshot ids; `getBatch(a, b)` is the append
+  * diff `(a, b]` (or the full content of `b` when `a` is absent and no
+  * `startingSnapshot` was given). Restart hands offsets back as
+  * `SerializedOffset`s, so ids round-trip through `json` — the one canonical
+  * form — rather than pattern-matching offset classes.
+  */
+final class SnapshotStreamSource(sqlContext: SQLContext, path: String,
+    log: SnapshotLog, override val schema: StructType,
+    startingAfter: Option[Long]) extends Source {
+
+  private case class SnapOffset(id: Long) extends Offset {
+    override def json: String = id.toString
+  }
+
+  private def idOf(o: Offset): Long = o.json.trim.toLong
+
+  override def getOffset: Option[Offset] = {
+    val cur = log.currentSnapshot()
+    // nothing to emit until a commit lands past the starting point
+    startingAfter match {
+      case Some(s) => cur.filter(_ > s).map(SnapOffset(_))
+      case None => cur.map(SnapOffset(_))
+    }
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    // `startingSnapshot = latest` on an empty table resolves to -1 ("before
+    // the first commit") — that is the full-content case, not a diff
+    val from = start.map(idOf).orElse(startingAfter).filter(_ >= 0)
+    log.streamingBatch(sqlContext.sparkSession, schema, from, idOf(end))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"SnapshotStreamSource[$path]"
+}

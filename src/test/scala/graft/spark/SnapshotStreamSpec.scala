@@ -1,0 +1,161 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** C20 — the snapshot-log streaming source. Invariants: the first batch is
+  * the full table then appends tail in (offsets = snapshot ids), a restart
+  * from the checkpoint delivers EXACTLY the appends committed while the
+  * stream was down (exactly-once), a rewrite commit inside a tailed range
+  * fails the stream loudly instead of replaying rewritten rows, the
+  * `startingSnapshot` option hands off from a batch consumer without
+  * reprocessing, and downstream stateful operators compose (the relation is
+  * an ordinary streaming plan).
+  */
+class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  override def beforeAll(): Unit = { spark = SparkTestSession.create(4) }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), prefix).toAbsolutePath.toString
+
+  private def rowsDf(ids: Range) =
+    spark.range(ids.start, ids.end).select(col("id"), (col("id") % 5).as("v"))
+
+  // lazy: `spark` is wired in beforeAll, after construction
+  private lazy val schema = rowsDf(0 until 1).schema
+
+  private def append(log: SnapshotLog, ids: Range): Long = {
+    val stage = log.stageUniqueDataDir()
+    rowsDf(ids).repartition(2).write.mode("overwrite").parquet(stage)
+    log.commitOptimistic(stage)
+  }
+
+  private def tableIds(name: String): Seq[Long] =
+    spark.table(name).select("id").collect().map(_.getLong(0)).toSeq.sorted
+
+  private def readStream(dir: String) =
+    spark.readStream.format("graft-snapshots").schema(schema).load(dir)
+
+  test("initial full load, live append tailing, exactly-once restart") {
+    val dir = tmpDir("stream_tail")
+    val ckpt = tmpDir("stream_ckpt")
+    val log = new SnapshotLog(dir)
+    append(log, 0 until 10)
+
+    // foreachBatch sink: the memory sink cannot recover from a checkpoint,
+    // and the restart half is exactly what this test pins
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def sink(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+    def ids(): Seq[Long] = { import scala.jdk.CollectionConverters._; seen.asScala.toSeq.sorted }
+
+    val q1 = readStream(dir).writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q1.processAllAvailable()
+      assert(ids() == (0L until 10L))
+      // live append while the stream runs
+      append(log, 10 until 15)
+      q1.processAllAvailable()
+      assert(ids() == (0L until 15L))
+    } finally q1.stop()
+
+    // appends land while the stream is DOWN; the restarted query (fresh
+    // buffer, same checkpoint) must deliver exactly those rows, once
+    append(log, 15 until 20)
+    append(log, 20 until 23)
+    seen.clear()
+    val q2 = readStream(dir).writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q2.processAllAvailable()
+      assert(ids() == (15L until 23L),
+        "restart must deliver exactly the offline appends, once")
+      // nothing new: no further rows
+      q2.processAllAvailable()
+      assert(ids() == (15L until 23L))
+    } finally q2.stop()
+  }
+
+  test("a rewrite commit inside the tailed range fails the stream loudly") {
+    val dir = tmpDir("stream_rw")
+    val ckpt = tmpDir("stream_rw_ckpt")
+    val log = new SnapshotLog(dir)
+    append(log, 0 until 10)
+    def sink(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = { df.count(): Unit }
+    val q1 = readStream(dir).writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+
+    // a delete rewrites history between the checkpointed offset and the head
+    assert(log.deleteWhere(spark, schema, col("id") === 3L).nonEmpty)
+    val q2 = readStream(dir).writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    val e = intercept[StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(30000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("rewrite"))),
+      s"expected the rewrite to surface, got: ${e.getMessage}")
+    q2.stop()
+  }
+
+  test("startingSnapshot hands off from a batch consumer without reprocessing") {
+    val dir = tmpDir("stream_from")
+    val log = new SnapshotLog(dir)
+    val s0 = append(log, 0 until 10)
+    append(log, 10 until 14)
+    // a batch consumer processed through snapshot s0; the stream takes over
+    val q2 = spark.readStream.format("graft-snapshots").schema(schema)
+      .option("startingSnapshot", s0.toString).load(dir)
+      .writeStream.format("memory").queryName("from2")
+      .option("checkpointLocation", tmpDir("stream_from_ckpt2")).start()
+    try {
+      q2.processAllAvailable()
+      assert(tableIds("from2") == (10L until 14L),
+        "tail must start strictly after the handed-off snapshot")
+    } finally q2.stop()
+
+    // startingSnapshot=latest: only appends committed after stream creation
+    val q3 = spark.readStream.format("graft-snapshots").schema(schema)
+      .option("startingSnapshot", "latest").load(dir)
+      .writeStream.format("memory").queryName("from3")
+      .option("checkpointLocation", tmpDir("stream_from_ckpt3")).start()
+    try {
+      q3.processAllAvailable()
+      assert(tableIds("from3").isEmpty)
+      append(log, 14 until 17)
+      q3.processAllAvailable()
+      assert(tableIds("from3") == (14L until 17L))
+    } finally q3.stop()
+  }
+
+  test("stateful operators compose: streaming aggregation over the tail") {
+    val dir = tmpDir("stream_agg")
+    val log = new SnapshotLog(dir)
+    append(log, 0 until 20)
+    val q = readStream(dir).groupBy("v").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("agg1").outputMode("complete")
+      .option("checkpointLocation", tmpDir("stream_agg_ckpt")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("agg1").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == (0L until 5L).map(v => v -> 4L).toMap)
+      append(log, 20 until 25)
+      q.processAllAvailable()
+      val got2 = spark.table("agg1").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == (0L until 5L).map(v => v -> 5L).toMap,
+        "the incremental batch must fold into the running aggregate")
+    } finally q.stop()
+  }
+}
