@@ -49,6 +49,7 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   meta/snap-<id>.txt      snapshot <id> parent <parentId>
   *                           manifest <meta/seg-....txt relative path>  (per segment)
+  *                           txn <appId> <version>                      (idempotent-writer watermark)
   *                           file <relative/path.parquet>               (legacy inline, tolerated)
   *   meta/seg-<id>[-tok].txt file <rel/path.parquet> <size> [col=min..max ...]
   * }}}
@@ -156,6 +157,27 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
 
   /** The segment files (relative paths) a snapshot's manifest list references. */
   private def segmentsAt(snapshotId: Long): Seq[String] = parseList(snapshotId)._1
+
+  /** Writer-transaction watermarks recorded in a snapshot's manifest:
+    * `txn\t<appId>\t<version>` lines, one per application id, carried forward
+    * (and last-writer-wins merged) through EVERY commit — append, rewrite,
+    * compact, replace alike — so an idempotent writer's progress survives
+    * table maintenance (Delta's `setTransaction` action, re-derived).
+    */
+  private def parseTxns(snapshotId: Long): Map[String, Long] = {
+    if (!io.exists(manifestPath(snapshotId))) return Map.empty
+    io.readString(manifestPath(snapshotId)).split('\n')
+      .collect { case l if l.startsWith("txn\t") =>
+        val p = l.split('\t'); p(1) -> p(2).toLong }
+      .toMap
+  }
+
+  /** The last committed version for an idempotent writer (`appId`) as of the
+    * CURRENT snapshot — what a replaying `foreachBatch` consults (via
+    * [[commitIdempotent]]) to decide whether its batch already landed.
+    */
+  def txnVersion(appId: String): Option[Long] =
+    currentSnapshot().flatMap(id => parseTxns(id).get(appId))
 
   /** Data files listed by one immutable segment: path, recorded size (absent
     * or negative = legacy/unknown), optional per-column min/max stats fields
@@ -299,8 +321,13 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     val segments = writeSegment(s"seg-$snapshotId.txt", snapshotId,
       parentSegments, parentInline, stagedStatuses(dataDirPath(snapshotId)),
       statsColumns)
+    // txn watermarks survive even a replace commit: they track a WRITER's
+    // progress, not table content — a replace that intentionally discards an
+    // idempotent writer's output requires that writer to restart with a
+    // fresh appId/checkpoint (the position Delta takes)
     promoteManifest(snapshotId, parent, segments,
-      tmpName = s"snap-$snapshotId.txt.tmp") match {
+      tmpName = s"snap-$snapshotId.txt.tmp",
+      txns = if (parent >= 0) parseTxns(parent) else Map.empty) match {
       case true => bumpHint(snapshotId); snapshotId
       case false =>
         throw new IllegalStateException(
@@ -318,13 +345,43 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * Returns the committed id.
     */
   def commitOptimistic(stagedDir: String, statsColumns: Seq[String] = Nil,
-      maxAttempts: Int = 10, requireParent: Option[Long] = None): Long = {
+      maxAttempts: Int = 10, requireParent: Option[Long] = None): Long =
+    commitOptimisticImpl(stagedDir, statsColumns, maxAttempts, requireParent,
+      txn = None).get
+
+  /** Idempotent append for replayable writers (a streaming `foreachBatch`
+    * sink, a retried job): commit the staged files ONLY if `(appId, version)`
+    * has not already landed — the manifest records each appId's high-water
+    * version and this call is a no-op (staged files aborted, returns None)
+    * when `version <= ` the recorded watermark. The check runs INSIDE the
+    * commit CAS loop against the would-be parent, so two replayers racing the
+    * same batch serialize: the loser's retry observes the winner's txn line
+    * and skips. Exactly-once appends from an at-least-once replay — Delta's
+    * `txnAppId`/`txnVersion` protocol, re-derived.
+    */
+  def commitIdempotent(stagedDir: String, appId: String, version: Long,
+      statsColumns: Seq[String] = Nil, maxAttempts: Int = 10): Option[Long] = {
+    require(appId.nonEmpty && !appId.contains('\t') && !appId.contains('\n'),
+      "appId must be non-empty and tab/newline-free (it rides the manifest)")
+    val r = commitOptimisticImpl(stagedDir, statsColumns, maxAttempts,
+      requireParent = None, txn = Some((appId, version)))
+    if (r.isEmpty) abortStage(stagedDir) // already applied: stage is orphan data
+    r
+  }
+
+  private def commitOptimisticImpl(stagedDir: String, statsColumns: Seq[String],
+      maxAttempts: Int, requireParent: Option[Long],
+      txn: Option[(String, Long)]): Option[Long] = {
     require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
     io.mkdirs(metaDir)
     val staged = stagedStatuses(io.qualify(new HPath(stagedDir)))
     var attempt = 0
     while (attempt < maxAttempts) {
       val parent = currentSnapshot().getOrElse(-1L)
+      val parentTxns = if (parent >= 0) parseTxns(parent) else Map.empty[String, Long]
+      txn.foreach { case (app, v) =>
+        if (parentTxns.get(app).exists(_ >= v)) return None
+      }
       // conditional append: the caller DERIVED its staged content from
       // `requireParent`'s snapshot (e.g. an anti-join against it) — landing
       // on any other parent could double-apply or contradict that derivation,
@@ -343,9 +400,10 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       val segments = writeSegment(s"seg-$id-$token.txt", id,
         parentSegments, parentInline, staged, statsColumns)
       if (promoteManifest(id, parent, segments,
-          tmpName = s"snap-$id.txt.occ-$token.tmp")) {
+          tmpName = s"snap-$id.txt.occ-$token.tmp",
+          txns = parentTxns ++ txn.map { case (app, v) => app -> v })) {
         bumpHint(id)
-        return id
+        return Some(id)
       }
       // lost the CAS: drop our now-unreferenced segment and re-derive from
       // the winner's snapshot
@@ -441,10 +499,12 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * Returns false when another writer committed the id first.
     */
   private def promoteManifest(snapshotId: Long, parent: Long,
-      segments: Seq[String], tmpName: String): Boolean = {
+      segments: Seq[String], tmpName: String,
+      txns: Map[String, Long]): Boolean = {
     val lines =
       Seq(s"snapshot\t$snapshotId\tparent\t$parent") ++
-        segments.map(sg => s"manifest\t$sg")
+        segments.map(sg => s"manifest\t$sg") ++
+        txns.toSeq.sortBy(_._1).map { case (app, v) => s"txn\t$app\t$v" }
     val tmp = new HPath(metaDir, tmpName)
     io.writeDirect(tmp, lines.mkString("\n") + "\n")
     val won = io.casPromoteFile(tmp, manifestPath(snapshotId))
@@ -934,7 +994,8 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     }
     val segments = writeSegment(s"seg-$id-$token.txt", id, carried, keptInline,
       stagedStatuses(dataDirPath(id)), statsColumns)
-    if (promoteManifest(id, parent, segments, tmpName = s"snap-$id.txt.rw-$token.tmp")) {
+    if (promoteManifest(id, parent, segments, tmpName = s"snap-$id.txt.rw-$token.tmp",
+        txns = parseTxns(parent))) {
       bumpHint(id); id
     } else {
       // own segments = the fresh one AND every rewritten `-rw` one (both

@@ -45,4 +45,69 @@ object StreamingExtract {
   /** Read back the streaming sink output. */
   def readOutput(spark: SparkSession, outDir: String): DataFrame =
     spark.read.schema(Schemas.extractedSchema).parquet(outDir)
+
+  /** TABLE→TABLE streaming extract — the composed shape a continuously-fed
+    * corpus actually runs: tail the pages table's append commits
+    * (`graft-snapshots` source, offsets = snapshot ids), run the extract
+    * kernel map-side, and append each micro-batch to the destination
+    * SNAPSHOT TABLE with an idempotent commit. `foreachBatch` is
+    * at-least-once (a crash between the sink action and the checkpoint write
+    * replays the batch), so exactly-once lands on
+    * [[SnapshotLog.commitIdempotent]]: the destination manifest records
+    * `(appId, batchId)` and a replayed batch is recognized and skipped —
+    * Delta's `txnAppId`/`txnVersion` composition, re-derived.
+    *
+    * The E9 success-ratio gate holds per micro-batch, mirroring the batch
+    * job: a batch under the threshold aborts its stage and fails the stream
+    * BEFORE the commit, so the destination table never references a bad
+    * batch.
+    *
+    * `appId` must be stable across restarts of the same logical pipeline
+    * (default: derived from the checkpoint location, which already is).
+    */
+  def startTableToTable(
+      spark: SparkSession,
+      sourceTableDir: String,
+      destTableDir: String,
+      checkpointDir: String,
+      numBuckets: Int = 32,
+      appId: Option[String] = None): StreamingQuery = {
+    import spark.implicits._
+    val app = appId.getOrElse(s"streaming-extract:$checkpointDir")
+    val pages = spark.readStream
+      .format("graft-snapshots")
+      .schema(Schemas.pagesSchema)
+      .load(sourceTableDir)
+      .as[Schemas.Page]
+    val extracted = ExtractJob.extractDFTyped(pages, numBuckets)
+    extracted.writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val destLog = new SnapshotLog(destTableDir)
+        // cheap pre-check: a replayed batch skips even the stage write (the
+        // authoritative check still runs inside the commit CAS loop)
+        if (!destLog.txnVersion(app).exists(_ >= batchId)) {
+          val batch = df.persist() // gate + write must not run the kernel twice
+          try {
+            val total = batch.count()
+            if (total > 0L) {
+              val ok = batch.filter(col("ok")).count()
+              if (ok.toDouble / total < ExtractJob.SuccessRatio)
+                throw ExtractJob.GateFailed(ok, total)
+              val stage = destLog.stageUniqueDataDir()
+              try {
+                batch.drop("ok").repartition(numBuckets, col("bucket"))
+                  .write.mode("overwrite").parquet(stage)
+                destLog.commitIdempotent(stage, app, batchId,
+                  statsColumns = Seq("bucket")): Unit
+              } catch {
+                case e: Throwable => destLog.abortStage(stage); throw e
+              }
+            }
+          } finally batch.unpersist(): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

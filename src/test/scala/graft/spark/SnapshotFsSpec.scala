@@ -399,4 +399,42 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept.size < meta.size,
       s"bucket=0 must plan fewer than all ${meta.size} files, got ${kept.size}")
   }
+
+  test("commitIdempotent: replayed versions skip; watermarks survive rewrites") {
+    val dir = tmpDir("snap_txn")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(100).select(col("id"), (col("id") % 4).as("v"))
+    def stage(lo: Long, hi: Long): String = {
+      val d = log.stageUniqueDataDir()
+      rows.filter(col("id") >= lo && col("id") < hi).repartition(2)
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    assert(log.commitIdempotent(stage(0, 40), "appA", 0L).contains(0L))
+    assert(log.txnVersion("appA").contains(0L))
+    // replay of batch 0: skipped, staged files aborted, table unchanged
+    val replay = stage(0, 40)
+    assert(log.commitIdempotent(replay, "appA", 0L).isEmpty)
+    assert(log.currentSnapshot().contains(0L))
+    assert(!new java.io.File(replay).exists(),
+      "a skipped replay must abort its staged files")
+    assert(log.scan(spark, rows.schema).count() == 40)
+    // the next version lands; each app has its own watermark
+    assert(log.commitIdempotent(stage(40, 80), "appA", 1L).isDefined)
+    assert(log.commitIdempotent(stage(80, 100), "appB", 0L).isDefined)
+    assert(log.txnVersion("appA").contains(1L))
+    assert(log.txnVersion("appB").contains(0L))
+    assert(log.scan(spark, rows.schema).count() == 100)
+    // compaction (a rewrite commit) carries every watermark forward —
+    // without this, maintenance between a crash and its replay would
+    // double-append the replayed batch
+    assert(log.compact(spark, rows.schema, targetFiles = 2).isDefined)
+    assert(log.txnVersion("appA").contains(1L))
+    assert(log.txnVersion("appB").contains(0L))
+    // a second replayer (fresh SnapshotLog instance = fresh cache) still
+    // observes the winner's txn line and skips
+    val log2 = new SnapshotLog(dir)
+    assert(log2.commitIdempotent(stage(0, 40), "appA", 1L).isEmpty)
+    assert(log2.scan(spark, rows.schema).count() == 100)
+  }
 }

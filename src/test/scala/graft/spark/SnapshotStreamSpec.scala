@@ -140,6 +140,47 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q3.stop()
   }
 
+  test("table-to-table streaming extract: exactly-once appends across restarts") {
+    val sp = spark; import sp.implicits._
+    val srcDir = tmpDir("t2t_src")
+    val dstDir = tmpDir("t2t_dst")
+    val ckpt = tmpDir("t2t_ckpt")
+    val fixture = Synth.corpus(100)
+    val oracle = Synth.oracleExtract(fixture)
+    val srcLog = new SnapshotLog(srcDir)
+    def appendPages(lo: Int, hi: Int): Unit = {
+      val d = srcLog.stageUniqueDataDir()
+      spark.createDataset(fixture.slice(lo, hi)).repartition(2)
+        .write.mode("overwrite").parquet(d)
+      srcLog.commitOptimistic(d): Unit
+    }
+    appendPages(0, 60)
+    StreamingExtract.startTableToTable(spark, srcDir, dstDir, ckpt, 8)
+      .awaitTermination()
+    val dstLog = new SnapshotLog(dstDir)
+    assert(dstLog.scan(spark, Schemas.extractedSchema).count() == 60)
+    // restart with nothing new: no new snapshot, no duplicates
+    val head = dstLog.currentSnapshot()
+    StreamingExtract.startTableToTable(spark, srcDir, dstDir, ckpt, 8)
+      .awaitTermination()
+    assert(dstLog.currentSnapshot() == head)
+    // more pages land; the restarted stream extracts ONLY them, once
+    appendPages(60, 100)
+    StreamingExtract.startTableToTable(spark, srcDir, dstDir, ckpt, 8)
+      .awaitTermination()
+    val got = dstLog.scan(spark, Schemas.extractedSchema)
+      .select("url", "kind", "text").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+    assert(got.length == 100 && got.map(_._1).distinct.length == 100,
+      "restart must append each page's extract exactly once")
+    for ((url, (kind, text)) <- got) {
+      val exp = oracle(url)
+      assert(kind == exp.kind && text == exp.text, url)
+    }
+    // the destination manifest carries the stream's idempotence watermark
+    assert(dstLog.txnVersion(s"streaming-extract:$ckpt").isDefined)
+  }
+
   test("stateful operators compose: streaming aggregation over the tail") {
     val dir = tmpDir("stream_agg")
     val log = new SnapshotLog(dir)
