@@ -149,10 +149,25 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * question asked about it.
     */
   private def parseList(snapshotId: Long): (Seq[String], Seq[String]) = {
-    if (!io.exists(manifestPath(snapshotId))) return (Seq.empty, Seq.empty)
+    val (segs, inline, _) = parseManifest(snapshotId)
+    (segs, inline)
+  }
+
+  /** ONE read of a snapshot's manifest yielding every line family: (segment
+    * relpaths, legacy inline file relpaths, txn watermarks). Commit paths
+    * need all three of the parent's — they must call THIS once, not
+    * [[parseList]] + [[parseTxns]] (two reads of the same small file is two
+    * metadata RPCs per commit attempt on an object store).
+    */
+  private def parseManifest(snapshotId: Long)
+      : (Seq[String], Seq[String], Map[String, Long]) = {
+    if (!io.exists(manifestPath(snapshotId)))
+      return (Seq.empty, Seq.empty, Map.empty)
     val lines = io.readString(manifestPath(snapshotId)).split('\n').toSeq
     (lines.collect { case l if l.startsWith("manifest\t") => l.split('\t')(1) },
-      lines.collect { case l if l.startsWith("file\t") => l.split('\t')(1) })
+      lines.collect { case l if l.startsWith("file\t") => l.split('\t')(1) },
+      lines.collect { case l if l.startsWith("txn\t") =>
+        val p = l.split('\t'); p(1) -> p(2).toLong }.toMap)
   }
 
   /** The segment files (relative paths) a snapshot's manifest list references. */
@@ -164,13 +179,8 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * compact, replace alike — so an idempotent writer's progress survives
     * table maintenance (Delta's `setTransaction` action, re-derived).
     */
-  private def parseTxns(snapshotId: Long): Map[String, Long] = {
-    if (!io.exists(manifestPath(snapshotId))) return Map.empty
-    io.readString(manifestPath(snapshotId)).split('\n')
-      .collect { case l if l.startsWith("txn\t") =>
-        val p = l.split('\t'); p(1) -> p(2).toLong }
-      .toMap
-  }
+  private def parseTxns(snapshotId: Long): Map[String, Long] =
+    parseManifest(snapshotId)._3
 
   /** The last committed version for an idempotent writer (`appId`) as of the
     * CURRENT snapshot — what a replaying `foreachBatch` consults (via
@@ -315,9 +325,11 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       s"snapshot $snapshotId must be parent+1 (parent $parent): ids are " +
         "contiguous under the manifest-CAS protocol")
     io.mkdirs(metaDir)
+    val (pSegs, pInline, pTxns) =
+      if (parent >= 0) parseManifest(parent)
+      else (Seq.empty[String], Seq.empty[String], Map.empty[String, Long])
     val (parentSegments, parentInline) =
-      if (keepParent && parent >= 0) parseList(parent)
-      else (Seq.empty[String], Seq.empty[String])
+      if (keepParent) (pSegs, pInline) else (Seq.empty[String], Seq.empty[String])
     val segments = writeSegment(s"seg-$snapshotId.txt", snapshotId,
       parentSegments, parentInline, stagedStatuses(dataDirPath(snapshotId)),
       statsColumns)
@@ -326,8 +338,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     // idempotent writer's output requires that writer to restart with a
     // fresh appId/checkpoint (the position Delta takes)
     promoteManifest(snapshotId, parent, segments,
-      tmpName = s"snap-$snapshotId.txt.tmp",
-      txns = if (parent >= 0) parseTxns(parent) else Map.empty) match {
+      tmpName = s"snap-$snapshotId.txt.tmp", txns = pTxns) match {
       case true => bumpHint(snapshotId); snapshotId
       case false =>
         throw new IllegalStateException(
@@ -378,7 +389,9 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     var attempt = 0
     while (attempt < maxAttempts) {
       val parent = currentSnapshot().getOrElse(-1L)
-      val parentTxns = if (parent >= 0) parseTxns(parent) else Map.empty[String, Long]
+      val (parentSegments, parentInline, parentTxns) =
+        if (parent >= 0) parseManifest(parent)
+        else (Seq.empty[String], Seq.empty[String], Map.empty[String, Long])
       txn.foreach { case (app, v) =>
         if (parentTxns.get(app).exists(_ >= v)) return None
       }
@@ -392,8 +405,6 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
             s"from $exp — recompute against the current snapshot and retry")
       }
       val id = parent + 1
-      val (parentSegments, parentInline) =
-        if (parent >= 0) parseList(parent) else (Seq.empty[String], Seq.empty[String])
       // token-unique segment name: two racers deriving the same id must not
       // overwrite each other's segment while exactly one of them will win it
       val token = java.util.UUID.randomUUID().toString.take(8)
@@ -867,10 +878,11 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     // filter FIRST, name files after: the predicate pushes to the scan (so
     // manifest-stats pruning applies), and input_file_name stays over a
     // single file source
-    val affected = affectedFiles(parent, scan(spark, schema, asOf = Some(parent))
-      .filter(predicate).select(input_file_name().as("f")))
+    val (affected, affectedSegs) = affectedFiles(parent,
+      scan(spark, schema, asOf = Some(parent))
+        .filter(predicate).select(input_file_name().as("f")))
     if (affected.isEmpty) None
-    else Some(rewriteExcluding(spark, schema, parent, affected,
+    else Some(rewriteExcluding(spark, schema, parent, affected, affectedSegs,
       df => df.filter(not(coalesce(predicate, lit(false)))), statsColumns))
   }
 
@@ -897,12 +909,13 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     // input_file_name() over a join of two file sources (the usual dedup
     // shape — the drop set derives from this very table) is ambiguous and
     // rejected by the analyzer
-    val affected = affectedFiles(parent, scan(spark, schema, asOf = Some(parent))
-      .withColumn("__graft_file", input_file_name())
-      .join(k, Seq(keyCol), "left_semi")
-      .select(org.apache.spark.sql.functions.col("__graft_file").as("f")))
+    val (affected, affectedSegs) = affectedFiles(parent,
+      scan(spark, schema, asOf = Some(parent))
+        .withColumn("__graft_file", input_file_name())
+        .join(k, Seq(keyCol), "left_semi")
+        .select(org.apache.spark.sql.functions.col("__graft_file").as("f")))
     if (affected.isEmpty) None
-    else Some(rewriteExcluding(spark, schema, parent, affected,
+    else Some(rewriteExcluding(spark, schema, parent, affected, affectedSegs,
       df => df.join(k, Seq(keyCol), "left_anti"), statsColumns))
   }
 
@@ -913,18 +926,29 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * sound within one table, whose files all live under one root.
     */
   private def affectedFiles(snapshotId: Long,
-      fileNames: org.apache.spark.sql.DataFrame): Set[String] = {
+      fileNames: org.apache.spark.sql.DataFrame): (Set[String], Set[String]) = {
     def norm(s: String): String = {
       val u = new HPath(s).toUri
       Option(u.getPath).getOrElse(s)
     }
-    val byNorm = filesAt(snapshotId).map(p => norm(p) -> p).toMap
-    fileNames.distinct()
+    // provenance rides along: (path -> owning segment) lets the rewrite
+    // commit carry every unaffected segment without reading it
+    val (segments, inline) = parseList(snapshotId)
+    val segPairs: Seq[(String, String)] =
+      if (segments.length < 4)
+        segments.flatMap(sg => readSegment(sg).map(m => m.path -> sg))
+      else segments.asJava.parallelStream()
+        .map[Seq[(String, String)]](sg => readSegment(sg).map(m => m.path -> sg))
+        .collect(java.util.stream.Collectors.toList[Seq[(String, String)]])
+        .asScala.toSeq.flatten
+    val byNorm = (segPairs ++ inline.map(f => (io.extern(io.path(f)), "")))
+      .map { case (p, sg) => norm(p) -> ((p, sg)) }.toMap
+    val hits = fileNames.distinct()
       .collect().map(_.getString(0))
       .map(f => byNorm.getOrElse(norm(f), sys.error(
         s"scan read $f, which snapshot $snapshotId's manifest does not list — " +
           "manifest/scan mismatch")))
-      .toSet
+    (hits.map(_._1).toSet, hits.collect { case (_, sg) if sg.nonEmpty => sg }.toSet)
   }
 
   /** Shared rewrite half of the delete operators: stage `survivors(affected
@@ -936,7 +960,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     */
   private def rewriteExcluding(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      parent: Long, affected: Set[String],
+      parent: Long, affected: Set[String], affectedSegs: Set[String],
       survivors: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
       statsColumns: Seq[String]): Long = {
     val id = parent + 1
@@ -956,7 +980,8 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         throw new IllegalStateException(
           s"snapshot $id was staged at $dest while the delete rewrite ran — " +
             "concurrent writer; recompute the delete against the new head")
-      try commitRewrite(id, parent, affected, statsColumns)
+      try commitRewrite(id, parent, affected, statsColumns,
+        affectedSegments = Some(affectedSegs))
       catch { case e: Throwable => abort(id); throw e }
     } finally {
       if (io.exists(tmp)) io.delete(tmp, recursive = true): Unit
@@ -965,37 +990,46 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
 
   /** Commit a snapshot whose content is `parent` minus `removed` files plus
     * whatever is staged under the snapshot's data dir. Parent segments with
-    * no removed file are carried BY REFERENCE; a segment that lost files is
-    * rewritten minus those entries — its surviving lines copied VERBATIM
-    * (sizes and column stats preserved without re-reading a single footer) —
-    * so metadata cost is O(affected segments), the Iceberg manifest-rewrite
-    * shape, never O(live files). Parent inline (legacy) entries fold into
-    * the fresh segment exactly as an append commit folds them.
+    * no removed file are carried BY REFERENCE — and when the caller names
+    * `affectedSegments` (the locate phase knows exactly which segments hold
+    * removed files — [[affectedFiles]] read them anyway to resolve paths),
+    * an unaffected segment is carried WITHOUT EVEN BEING READ; a segment
+    * that lost files is rewritten minus those entries, its surviving lines
+    * copied VERBATIM (sizes and column stats preserved without re-reading a
+    * single footer) — so metadata cost is O(affected segments), the Iceberg
+    * manifest-rewrite shape, never O(live segments). Parent inline (legacy)
+    * entries fold into the fresh segment exactly as an append commit folds
+    * them. `affectedSegments = None` means "unknown — test every segment"
+    * (the compact path, where every segment IS affected).
     */
   private def commitRewrite(id: Long, parent: Long, removed: Set[String],
-      statsColumns: Seq[String]): Long = {
-    val (parentSegments, parentInline) = parseList(parent)
+      statsColumns: Seq[String],
+      affectedSegments: Option[Set[String]] = None): Long = {
+    val (parentSegments, parentInline, parentTxns) = parseManifest(parent)
     val token = java.util.UUID.randomUUID().toString.take(8)
     val keptInline = parentInline.filterNot(f => removed.contains(io.extern(io.path(f))))
     var ownSegs = List.empty[HPath]
     val carried: Seq[String] = parentSegments.flatMap { sg =>
-      val lines = io.readString(io.path(sg)).split('\n').toSeq.filter(_.nonEmpty)
-      val (gone, kept) = lines.partition { l =>
-        l.startsWith("file\t") && removed.contains(io.extern(io.path(l.split('\t')(1))))
-      }
-      if (gone.isEmpty) Some(sg)
-      else if (!kept.exists(_.startsWith("file\t"))) None // segment fully deleted
+      if (affectedSegments.exists(!_.contains(sg))) Some(sg) // untouched: zero IO
       else {
-        val p = segmentPath(s"seg-$id-rw${ownSegs.size}-$token.txt")
-        io.writeAtomic(p, kept.mkString("", "\n", "\n"))
-        ownSegs ::= p
-        Some(io.relativize(p))
+        val lines = io.readString(io.path(sg)).split('\n').toSeq.filter(_.nonEmpty)
+        val (gone, kept) = lines.partition { l =>
+          l.startsWith("file\t") && removed.contains(io.extern(io.path(l.split('\t')(1))))
+        }
+        if (gone.isEmpty) Some(sg)
+        else if (!kept.exists(_.startsWith("file\t"))) None // segment fully deleted
+        else {
+          val p = segmentPath(s"seg-$id-rw${ownSegs.size}-$token.txt")
+          io.writeAtomic(p, kept.mkString("", "\n", "\n"))
+          ownSegs ::= p
+          Some(io.relativize(p))
+        }
       }
     }
     val segments = writeSegment(s"seg-$id-$token.txt", id, carried, keptInline,
       stagedStatuses(dataDirPath(id)), statsColumns)
     if (promoteManifest(id, parent, segments, tmpName = s"snap-$id.txt.rw-$token.tmp",
-        txns = parseTxns(parent))) {
+        txns = parentTxns)) {
       bumpHint(id); id
     } else {
       // own segments = the fresh one AND every rewritten `-rw` one (both
@@ -1026,15 +1060,27 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       fromSnapshot: Option[Long], toSnapshot: Long): org.apache.spark.sql.DataFrame = {
     val meta = fromSnapshot match {
       case None => metaAt(toSnapshot)
+      case Some(f) if f == toSnapshot => Seq.empty
       case Some(f) =>
-        try metaAddedBetween(f, toSnapshot)
-        catch {
-          case e: IllegalArgumentException => throw new IllegalStateException(
+        // diagnose structurally (isAppendOf), never by exception type: an
+        // expired `from` manifest, a rewrite commit, and an offset inversion
+        // are three different operator errors with three different fixes
+        require(f < toSnapshot,
+          s"streaming offsets inverted: from $f > end $toSnapshot — " +
+            "corrupted checkpoint or a foreign table at this path")
+        if (!io.exists(manifestPath(f)))
+          throw new IllegalStateException(
+            s"streaming tail's last-committed snapshot $f has been EXPIRED " +
+              "from the table while the stream lagged — raise snapshot " +
+              "retention (expireSnapshots keepLast) above the stream's " +
+              "maximum lag; restart from a fresh checkpoint to reprocess")
+        if (!isAppendOf(toSnapshot, f))
+          throw new IllegalStateException(
             s"streaming tail crossed a table rewrite between snapshots $f " +
               s"and $toSnapshot — a rewrite is not an append and must not be " +
               "replayed as one; restart the stream from a fresh checkpoint " +
-              "to reprocess the rewritten table", e)
-        }
+              "to reprocess the rewritten table")
+        metaAddedBetween(f, toSnapshot)
     }
     val entries = meta.map(m => ManifestEntry(m.path,
       m.size.getOrElse(io.len(new HPath(m.path))), m.stats))

@@ -61,14 +61,60 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     val path = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft-snapshots needs a table path: .load(<tableDir>)"))
     val log = new SnapshotLog(path)
-    val startingAfter = opt("startingSnapshot").map(_.trim).map {
-      case "latest" => log.currentSnapshot().getOrElse(-1L)
-      case n =>
-        try n.toLong
-        catch { case _: NumberFormatException => throw new IllegalArgumentException(
-          s"startingSnapshot must be a snapshot id or 'latest', got '$n'") }
-    }
+    val startingAfter = resolveStart(sqlContext, metadataPath, log,
+      opt("startingSnapshot"))
     new SnapshotStreamSource(sqlContext, path, log, normalized(schema), startingAfter)
+  }
+
+  /** Resolve the stream's starting point ONCE per checkpoint and persist it
+    * under the source `metadataPath`. `startingSnapshot=latest` must not be
+    * re-resolved against the table head on restart: Spark replays the first
+    * batch as `getBatch(None, end)` after a crash before the offsets-commit,
+    * and a restart-time re-resolution would move the start under that
+    * replay — silently dropping the original range (head unchanged) or
+    * inverting the offsets (head advanced). Persisting the resolution makes
+    * the start a constant of the checkpoint, like every other offset
+    * (FileStreamSource's metadata-log discipline).
+    */
+  private def resolveStart(sqlContext: SQLContext, metadataPath: String,
+      log: SnapshotLog, option: Option[String]): Option[Long] = {
+    val conf = sqlContext.sparkSession.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fs = dir.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(dir, "starting-snapshot")
+    if (fs.exists(marker)) {
+      val s = {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      }
+      if (s == "none") None else Some(s.toLong)
+    } else {
+      val resolved = option.map(_.trim).map {
+        case "latest" => log.currentSnapshot().getOrElse(-1L)
+        case n =>
+          try n.toLong
+          catch { case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingSnapshot must be a snapshot id or 'latest', got '$n'") }
+      }
+      // tmp + rename: a crash mid-write must leave no torn marker (a
+      // truncated id would silently shift the stream's start)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".starting-snapshot.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      fs.mkdirs(dir)
+      val out = fs.create(tmp, false)
+      try out.write(resolved.map(_.toString).getOrElse("none")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        fs.delete(tmp, false)
+        // lost to a concurrent creator of the same checkpoint: theirs wins
+        if (!fs.exists(marker)) throw new java.io.IOException(
+          s"could not persist streaming start marker at $marker")
+        return resolveStart(sqlContext, metadataPath, log, option)
+      }
+      resolved
+    }
   }
 }
 

@@ -140,6 +140,57 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q3.stop()
   }
 
+  test("startingSnapshot=latest is pinned at first start, not re-resolved on restart") {
+    val dir = tmpDir("stream_pin")
+    val ckpt = tmpDir("stream_pin_ckpt")
+    val log = new SnapshotLog(dir)
+    append(log, 0 until 5) // precedes stream creation: never delivered
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def sink(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+    def ids(): Seq[Long] = { import scala.jdk.CollectionConverters._; seen.asScala.toSeq.sorted }
+    def start() = spark.readStream.format("graft-snapshots").schema(schema)
+      .option("startingSnapshot", "latest").load(dir)
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(ids().isEmpty)
+      append(log, 5 until 9)
+      q1.processAllAvailable()
+      assert(ids() == (5L until 9L))
+    } finally q1.stop()
+
+    // appends land while the stream is DOWN. A restart that re-resolved
+    // `latest` against the new head would never deliver them (its getOffset
+    // filter hides everything at-or-below the head); the persisted marker
+    // must keep the original start so the restart tails from the checkpoint
+    append(log, 9 until 12)
+    seen.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(ids() == (9L until 12L),
+        "restart must deliver appends landed while down — `latest` was re-resolved")
+    } finally q2.stop()
+  }
+
+  test("an expired tail offset is diagnosed as retention, not as a rewrite") {
+    val dir = tmpDir("stream_exp")
+    val log = new SnapshotLog(dir)
+    append(log, 0 until 4)
+    append(log, 4 until 8)
+    append(log, 8 until 12)
+    log.expireSnapshots(keepLast = 1)
+    val e = intercept[IllegalStateException] {
+      log.streamingBatch(spark, schema, Some(0L), 2L)
+    }
+    assert(e.getMessage.contains("EXPIRED") && e.getMessage.contains("retention"),
+      e.getMessage)
+  }
+
   test("table-to-table streaming extract: exactly-once appends across restarts") {
     val sp = spark; import sp.implicits._
     val srcDir = tmpDir("t2t_src")
