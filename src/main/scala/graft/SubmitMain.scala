@@ -44,7 +44,8 @@ object SubmitMain {
         |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]
         |  repair-metrics <tableDir>
         |  tail    <tableDir> <fromSnapshot> <outDir>
-        |  pipeline <pagesParquet> <tableDir> <dedupedDir> [numBuckets=32]""".stripMargin)
+        |  pipeline <pagesParquet> <tableDir> <dedupedDir> [numBuckets=32]
+        |  stream  <pagesTableDir> <tableDir> <dedupedDir> <checkpointRoot> [numBuckets=32]""".stripMargin)
     sys.exit(2)
   }
 
@@ -71,6 +72,7 @@ object SubmitMain {
     val minArgs = args.headOption match {
       case Some("compact") | Some("orphans") | Some("repair-metrics") => 2
       case Some("tail") | Some("pipeline") => 4
+      case Some("stream") => 5
       case _ => 3
     }
     if (args.length < minArgs) usage()
@@ -183,6 +185,24 @@ object SubmitMain {
             .map(d => s"appended ${r.appendedRows} deduped rows (snapshot $d)")
             .getOrElse("deduped table unchanged (no new digests)")
           println(s"$ex; $dd")
+        case "stream" =>
+          // the CONTINUOUS pipeline (C20 + C21 + P1): tail the pages
+          // snapshot table -> extract -> extracted table -> tail -> exact
+          // dedup -> deduped table, both stages AvailableNow with
+          // checkpointed offsets and idempotent commits. Each invocation
+          // drains exactly the appends since the last one — exactly-once
+          // across crashes and reruns; `pipeline` is the one-shot batch
+          // equivalent for plain parquet page drops
+          val Array(_, pagesTable, tableDir, dedupedDir, ckRoot) = args.take(5)
+          val buckets = if (args.length > 5) args(5).toInt else 32
+          graft.spark.StreamingExtract.startTableToTable(
+            spark, pagesTable, tableDir, s"$ckRoot/extract", buckets)
+            .awaitTermination()
+          graft.spark.Pipelines.startStreamingDedup(
+            spark, tableDir, dedupedDir, s"$ckRoot/dedup")
+            .awaitTermination()
+          val head = new SnapshotLog(dedupedDir).currentSnapshot()
+          println(s"stream drained: deduped table at ${head.fold("<empty>")(h => s"snapshot $h")}")
         case "repair-metrics" =>
           // lineage backfill: a crash between snapshot commit and metrics
           // append leaves a committed snapshot with no lineage row; re-derive

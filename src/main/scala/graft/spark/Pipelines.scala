@@ -99,6 +99,55 @@ object Pipelines {
   def appendDeduped(spark: SparkSession, fresh: DataFrame,
       dedupedDir: String): (Option[Long], Long) = {
     val dlog = new SnapshotLog(dedupedDir)
+    appendDedupedWith(spark, fresh, dlog, (stage, base) =>
+      Some(dlog.commitOptimistic(stage, statsColumns = Seq("bucket"),
+        requireParent = Some(base.getOrElse(-1L)))))
+  }
+
+  /** Streaming twin of the dedup-append stage: tail the EXTRACTED table's
+    * append commits (C20 source) and dedup-append each micro-batch into the
+    * deduped table with an IDEMPOTENT conditional commit — `(appId, batchId)`
+    * rides the deduped manifest, so `foreachBatch`'s at-least-once replay
+    * appends exactly once (C21), and the conditional parent pins the commit
+    * to the snapshot the anti-join probed (an overlapping writer fails the
+    * batch loudly; the stream's retry re-derives — same position as the
+    * batch pipeline). The extract-watermark file is NOT used here: the
+    * stream's checkpoint offsets are the watermark.
+    */
+  def startStreamingDedup(
+      spark: SparkSession,
+      extractedTableDir: String,
+      dedupedDir: String,
+      checkpointDir: String,
+      appId: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val app = appId.getOrElse(s"streaming-dedup:$checkpointDir")
+    spark.readStream
+      .format("graft-snapshots")
+      .schema(Schemas.extractedSchema)
+      .load(extractedTableDir)
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val dlog = new SnapshotLog(dedupedDir)
+        if (!dlog.txnVersion(app).exists(_ >= batchId)) {
+          appendDedupedWith(spark, df, dlog, (stage, base) =>
+            dlog.commitIdempotent(stage, app, batchId,
+              statsColumns = Seq("bucket"),
+              requireParent = Some(base.getOrElse(-1L)))): Unit
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Shared body of the batch and streaming dedup-append: derive survivors
+    * against the CURRENT deduped snapshot, stage them, and hand the staged
+    * dir plus the derivation snapshot to `commitFn` (conditional-OCC for the
+    * batch path, conditional-idempotent for the streaming path).
+    */
+  private def appendDedupedWith(spark: SparkSession, fresh: DataFrame,
+      dlog: SnapshotLog,
+      commitFn: (String, Option[Long]) => Option[Long]): (Option[Long], Long) = {
     // the anti-join is derived from THIS snapshot: the commit below is
     // conditional on it still being the parent, so an overlapping pipeline
     // turn deduping the same slice cannot land the same rows twice (one
@@ -124,8 +173,7 @@ object Pipelines {
       dlog.abortStage(stage)
       (None, 0L)
     } else
-      try (Some(dlog.commitOptimistic(stage, statsColumns = Seq("bucket"),
-        requireParent = Some(base.getOrElse(-1L)))), n)
+      try (commitFn(stage, base), n)
       catch { case e: Throwable => dlog.abortStage(stage); throw e }
   }
 }

@@ -371,11 +371,15 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * `txnAppId`/`txnVersion` protocol, re-derived.
     */
   def commitIdempotent(stagedDir: String, appId: String, version: Long,
-      statsColumns: Seq[String] = Nil, maxAttempts: Int = 10): Option[Long] = {
+      statsColumns: Seq[String] = Nil, maxAttempts: Int = 10,
+      requireParent: Option[Long] = None): Option[Long] = {
     require(appId.nonEmpty && !appId.contains('\t') && !appId.contains('\n'),
       "appId must be non-empty and tab/newline-free (it rides the manifest)")
+    // already-applied wins over stale-parent: the txn check runs before the
+    // requireParent check in the loop, so a replay that raced a foreign
+    // append SKIPS (correct) instead of failing the conditional
     val r = commitOptimisticImpl(stagedDir, statsColumns, maxAttempts,
-      requireParent = None, txn = Some((appId, version)))
+      requireParent, txn = Some((appId, version)))
     if (r.isEmpty) abortStage(stagedDir) // already applied: stage is orphan data
     r
   }

@@ -232,6 +232,58 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dstLog.txnVersion(s"streaming-extract:$ckpt").isDefined)
   }
 
+  test("continuous pipeline: extract + dedup streams compose exactly-once") {
+    val sp = spark; import sp.implicits._
+    val pagesDir = tmpDir("cp_pages")
+    val extDir = tmpDir("cp_ext")
+    val dedupDir = tmpDir("cp_dedup")
+    val ck = tmpDir("cp_ck")
+    val fixture = Synth.corpus(60)
+    val pagesLog = new SnapshotLog(pagesDir)
+    def appendPages(ps: Seq[Schemas.Page]): Unit = {
+      val d = pagesLog.stageUniqueDataDir()
+      spark.createDataset(ps).repartition(2).write.mode("overwrite").parquet(d)
+      pagesLog.commitOptimistic(d): Unit
+    }
+    def drain(): Unit = {
+      StreamingExtract.startTableToTable(spark, pagesDir, extDir, s"$ck/extract", 8)
+        .awaitTermination()
+      Pipelines.startStreamingDedup(spark, extDir, dedupDir, s"$ck/dedup")
+        .awaitTermination()
+    }
+    val dlog = new SnapshotLog(dedupDir)
+    def dedupRows() = dlog.scan(spark, Pipelines.dedupedSchema)
+    def distinctTexts(): Long = new SnapshotLog(extDir)
+      .scan(spark, Schemas.extractedSchema)
+      .select(md5(col("text").cast("binary"))).distinct().count()
+
+    // batch 1: 40 originals + 10 same-payload pages under different urls
+    appendPages(fixture.take(40) ++
+      fixture.take(10).map(p => p.copy(url = p.url + "?dup")))
+    drain()
+    assert(dedupRows().count() == distinctTexts(),
+      "deduped table must hold one row per distinct extracted text")
+    // min-url representative: the original url wins over its ?dup twin
+    val fp0 = dedupRows()
+      .filter(col("url") === fixture.head.url || col("url") === fixture.head.url + "?dup")
+    assert(fp0.select("url").collect().map(_.getString(0)).toSeq ==
+      Seq(fixture.head.url))
+
+    // drain with nothing new: both streams are no-ops
+    val head = dlog.currentSnapshot()
+    drain()
+    assert(dlog.currentSnapshot() == head)
+
+    // batch 2: 20 new pages + 5 repeats of batch-1 payloads; only genuinely
+    // new texts append, exactly once
+    appendPages(fixture.slice(40, 60) ++
+      fixture.slice(10, 15).map(p => p.copy(url = p.url + "?again")))
+    drain()
+    assert(dedupRows().count() == distinctTexts())
+    assert(dedupRows().groupBy("fp").count().filter(col("count") > 1).count() == 0,
+      "no digest may appear twice in the deduped corpus")
+  }
+
   test("stateful operators compose: streaming aggregation over the tail") {
     val dir = tmpDir("stream_agg")
     val log = new SnapshotLog(dir)
