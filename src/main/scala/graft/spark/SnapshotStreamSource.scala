@@ -35,6 +35,10 @@ import org.apache.spark.sql.types.StructType
   *     fails the stream loudly rather than replaying rewritten rows as
   *     appends; expire must retain snapshots at least as long as the stream
   *     lags (an expired `from` manifest also fails loudly, never silently).
+  *   - `maxSnapshotsPerTrigger = <n>`: cap each micro-batch at `n` append
+  *     commits, so a stream restarted behind a deep backlog drains it in
+  *     bounded steps instead of planning the backlog as one giant batch
+  *     (Delta's `maxFilesPerTrigger`, at this log's natural granularity).
   */
 final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -63,7 +67,16 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     val log = new SnapshotLog(path)
     val startingAfter = resolveStart(sqlContext, metadataPath, log,
       opt("startingSnapshot"))
-    new SnapshotStreamSource(sqlContext, path, log, normalized(schema), startingAfter)
+    val maxPerTrigger = opt("maxSnapshotsPerTrigger").map { s =>
+      val n = try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxSnapshotsPerTrigger must be a positive number, got '$s'")
+      }
+      require(n >= 1, s"maxSnapshotsPerTrigger must be >= 1, got $n")
+      n
+    }
+    new SnapshotStreamSource(sqlContext, path, log, normalized(schema),
+      startingAfter, maxPerTrigger)
   }
 
   /** Resolve the stream's starting point ONCE per checkpoint and persist it
@@ -126,7 +139,8 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
   */
 final class SnapshotStreamSource(sqlContext: SQLContext, path: String,
     log: SnapshotLog, override val schema: StructType,
-    startingAfter: Option[Long]) extends Source {
+    startingAfter: Option[Long],
+    maxSnapshotsPerTrigger: Option[Long] = None) extends Source {
 
   private case class SnapOffset(id: Long) extends Offset {
     override def json: String = id.toString
@@ -134,20 +148,38 @@ final class SnapshotStreamSource(sqlContext: SQLContext, path: String,
 
   private def idOf(o: Offset): Long = o.json.trim.toLong
 
+  /** Highest offset already handed to the engine — the rate-limit base.
+    * Recovered lazily from the checkpoint: the engine replays the pending
+    * batch via [[getBatch]] (whose `end` advances this) BEFORE asking
+    * [[getOffset]] for new data, so a restart resumes the ladder exactly
+    * where the checkpoint left it. -1 = nothing delivered yet.
+    */
+  @volatile private var delivered: Long = -1L
+
   override def getOffset: Option[Offset] = {
-    val cur = log.currentSnapshot()
+    val head = log.currentSnapshot()
     // nothing to emit until a commit lands past the starting point
-    startingAfter match {
-      case Some(s) => cur.filter(_ > s).map(SnapOffset(_))
-      case None => cur.map(SnapOffset(_))
+    val base = math.max(delivered, startingAfter.getOrElse(-1L))
+    val capped = maxSnapshotsPerTrigger match {
+      // bound the micro-batch to N snapshots of appends: a stream restarted
+      // after a week of lag walks the backlog in bounded steps instead of
+      // planning the whole week as ONE batch (Delta's maxFilesPerTrigger
+      // position). The cap needs a diff base, so the very first batch of a
+      // full-table load (base = -1, no startingSnapshot) is uncapped — it
+      // reads one committed table state, which a batch job reads anyway.
+      case Some(n) if base >= 0 => head.map(h => math.min(h, base + n))
+      case _ => head
     }
+    capped.filter(_ > base).map(SnapOffset(_))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // `startingSnapshot = latest` on an empty table resolves to -1 ("before
     // the first commit") — that is the full-content case, not a diff
     val from = start.map(idOf).orElse(startingAfter).filter(_ >= 0)
-    log.streamingBatch(sqlContext.sparkSession, schema, from, idOf(end))
+    val to = idOf(end)
+    delivered = math.max(delivered, to)
+    log.streamingBatch(sqlContext.sparkSession, schema, from, to)
   }
 
   override def stop(): Unit = ()

@@ -400,6 +400,37 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucket=0 must plan fewer than all ${meta.size} files, got ${kept.size}")
   }
 
+  test("additive schema evolution: old files null-fill new columns, pruning stays sound") {
+    val dir = tmpDir("snap_evo")
+    val log = new SnapshotLog(dir)
+    val v1 = spark.range(10).select(col("id"), (col("id") % 3).as("v"))
+    v1.repartition(2).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    // widen the table: later commits carry an `extra` column (+ its stats)
+    val v2 = spark.range(10, 20)
+      .select(col("id"), (col("id") % 3).as("v"), (col("id") * 2).as("extra"))
+    v2.repartition(2).write.mode("overwrite").parquet(log.stageDataDir(1L))
+    log.commit(1L, statsColumns = Seq("extra"))
+
+    // read at the widened schema: pre-evolution files null-fill the column
+    // (parquet read-schema reconciliation — the additive half of Iceberg
+    // schema evolution; renames/drops need column ids the log does not keep)
+    val all = log.scan(spark, v2.schema)
+    assert(all.count() == 20)
+    assert(all.filter(col("extra").isNull).select("id")
+      .collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    // the old, narrower schema still reads both file generations
+    assert(log.scan(spark, v1.schema).count() == 20)
+    // a filter on the evolved column: stat-less pre-evolution files are KEPT
+    // (stats absent = never pruned), new files prune by their recorded
+    // min/max — correctness does not depend on stats existing
+    assert(all.filter(col("extra") === 38L).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(19L))
+    // the streaming tail sees evolved batches under the widened schema too
+    val inc = log.scanIncremental(spark, v2.schema, 0L)
+    assert(inc.count() == 10 && inc.filter(col("extra").isNotNull).count() == 10)
+  }
+
   test("commitIdempotent: replayed versions skip; watermarks survive rewrites") {
     val dir = tmpDir("snap_txn")
     val log = new SnapshotLog(dir)

@@ -232,6 +232,36 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dstLog.txnVersion(s"streaming-extract:$ckpt").isDefined)
   }
 
+  test("maxSnapshotsPerTrigger drains a deep backlog in bounded micro-batches") {
+    val dir = tmpDir("stream_rate")
+    val log = new SnapshotLog(dir)
+    val s0 = append(log, 0 until 4)
+    // a 6-snapshot backlog lands before the stream starts
+    for (i <- 1 to 6) append(log, (i * 4) until (i * 4 + 4))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val batchSizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    def sink(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val rows = df.select("id").collect().map(_.getLong(0))
+      rows.foreach(seen.add)
+      batchSizes.add(rows.length): Unit
+    }
+    val q = spark.readStream.format("graft-snapshots").schema(schema)
+      .option("startingSnapshot", s0.toString)
+      .option("maxSnapshotsPerTrigger", "2")
+      .load(dir)
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", tmpDir("stream_rate_ck")).start()
+    try {
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.toSeq.sorted == (4L until 28L),
+        "the capped drain must still deliver the whole backlog exactly once")
+      // 6 snapshots at <= 2 per trigger: at least 3 batches, none over 8 rows
+      assert(batchSizes.size >= 3 && batchSizes.asScala.forall(_ <= 8),
+        s"micro-batches must stay bounded, got sizes ${batchSizes.asScala.toSeq}")
+    } finally q.stop()
+  }
+
   test("continuous pipeline: extract + dedup streams compose exactly-once") {
     val sp = spark; import sp.implicits._
     val pagesDir = tmpDir("cp_pages")
