@@ -38,7 +38,7 @@ object SubmitMain {
         |  search  <tableDir> <matchedDir> Field=value...
         |  bundle  <matchedDir> <bundleDir>
         |  expire  <tableDir> <keepLast>
-        |  compact <tableDir> [targetFiles=128]
+        |  compact <tableDir> [targetFiles=128] [sortBy=col1,col2]
         |  orphans <tableDir> [minAgeHours=1]
         |  lsh-index <embeddingsParquet> <indexDir>
         |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]
@@ -142,12 +142,18 @@ object SubmitMain {
           println(s"bundled $matchedDir -> $bundleDir (single artifact)")
         case "compact" =>
           // small-file compaction (C8): bin-pack the current snapshot into
-          // fewer, larger data files as a new replace snapshot
+          // fewer, larger data files as a new replace snapshot; an optional
+          // comma-separated sort column list switches to the clustered
+          // rewrite (disjoint per-file ranges -> precise file skipping)
           val tableDir = args(1)
           val target = if (args.length > 2) args(2).toInt else 128
+          val sortBy = if (args.length > 3) args(3).split(',').toSeq.filter(_.nonEmpty)
+            else Seq.empty[String]
           new SnapshotLog(tableDir).compact(spark, Schemas.extractedSchema, target,
-              statsColumns = Seq("bucket")) match {
-            case Some(id) => println(s"compacted $tableDir into <= $target files (snapshot $id)")
+              statsColumns = (Seq("bucket") ++ sortBy).distinct, sortBy = sortBy) match {
+            case Some(id) =>
+              val how = if (sortBy.isEmpty) "" else s" clustered by ${sortBy.mkString(",")}"
+              println(s"compacted $tableDir into <= $target files$how (snapshot $id)")
             case None => println(s"$tableDir already at or under $target files; no-op")
           }
         case "tail" =>

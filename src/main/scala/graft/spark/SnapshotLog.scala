@@ -623,16 +623,28 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * reads O(commits) small files) collapses back to a single segment — the
     * same maintenance cadence bounds both file count and listing cost.
     *
+    * `sortBy` switches the rewrite to a CLUSTERED one: a single
+    * range-partitioned + sorted job whose output files carry disjoint
+    * `sortBy` ranges, so selective filters on those columns prune to O(1)
+    * files through the manifest stats (record them via `statsColumns`!) —
+    * Iceberg's rewrite-with-sort-order. Costs one shuffle of the rewritten
+    * bytes (the unsorted path is narrow); runs even at-or-under
+    * `targetFiles`, since clustering, not file count, is its point.
+    *
     * Returns the new snapshot id, or None when already at or under target.
     */
   def compact(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       targetFiles: Int = 128,
-      statsColumns: Seq[String] = Nil): Option[Long] = {
+      statsColumns: Seq[String] = Nil,
+      sortBy: Seq[String] = Nil): Option[Long] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val current = currentSnapshot().getOrElse(return None)
     val meta = metaAt(current)
-    if (meta.size <= targetFiles) return None
+    if (meta.isEmpty) return None
+    // a SORTED rewrite runs even at-or-under the file target: clustering is
+    // its point, not file count
+    if (sortBy.isEmpty && meta.size <= targetFiles) return None
     // manifest-recorded sizes drive the binning (zero stats for post-r4
     // commits); a legacy entry without one is stat'ed once here
     val sized = meta.map { m =>
@@ -652,6 +664,22 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     val tmp = new HPath(root,
       "data/.compact-" + java.util.UUID.randomUUID().toString)
     try {
+      if (sortBy.nonEmpty) {
+        // CLUSTERED rewrite (Iceberg's rewrite-with-sort-order, re-derived):
+        // ONE range exchange moves the bytes once so output files carry
+        // DISJOINT sortBy ranges — afterwards a selective filter on the sort
+        // column prunes to O(1) files via manifest stats (C16), where the
+        // size-binned rewrite preserves arrival order and every file's
+        // min/max spans the whole domain. The shuffle is the price of
+        // clustering and is paid once per maintenance cycle; range
+        // boundaries come from Spark's reservoir sampling, so output bytes
+        // stay balanced under skew
+        import org.apache.spark.sql.functions.col
+        spark.read.schema(schema).parquet(sized.map(_._1): _*)
+          .repartitionByRange(math.max(1, bins.size), sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+          .write.mode("overwrite").parquet(io.extern(tmp))
+      } else {
       // one single-output narrow job per bin, all in flight at once: Spark's
       // scheduler interleaves their tasks, so rewrite parallelism is
       // min(cores, bins) even though each output file is written by one task
@@ -676,6 +704,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         catch { case e: Throwable => Some(e) })
       pool.shutdown()
       failures.headOption.foreach(throw _)
+      }
       // commit at base+1, NOT nextSnapshotId(): the rewrite lists `current`'s
       // content, so any commit that landed DURING the rewrite must make this
       // replace lose its manifest CAS and fail loudly — an id allocated after

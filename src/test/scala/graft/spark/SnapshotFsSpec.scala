@@ -400,6 +400,50 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bucket=0 must plan fewer than all ${meta.size} files, got ${kept.size}")
   }
 
+  test("clustered compaction: disjoint sort ranges make file skipping precise") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("snap_sorted")
+    val log = new SnapshotLog(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    // 4 append commits, each striping the FULL k domain: every file's
+    // [min,max] covers everything, so stats prune nothing before clustering
+    for (i <- 0 until 4) {
+      val stage = log.stageUniqueDataDir()
+      (0 until 250).map(j => (i * 250 + j.toLong, (j * 4 + i).toLong))
+        .toDF("id", "k").coalesce(1).write.mode("overwrite").parquet(stage)
+      log.commitOptimistic(stage, statsColumns = Seq("k")): Unit
+    }
+    import org.apache.spark.sql.catalyst.expressions._
+    val kAttr = AttributeReference("k", org.apache.spark.sql.types.LongType)()
+    def planned(id: Long, f: Expression): Int = {
+      val meta = log.metaAt(id)
+      new ManifestFileIndex(dir,
+        meta.map(m => ManifestEntry(m.path, m.size.get, m.stats)))
+        .listFiles(Nil, Seq(f)).map(_.files.size).sum
+    }
+    val before = log.currentSnapshot().get
+    assert(planned(before, LessThan(kAttr, Literal(100L))) == 4,
+      "interleaved arrival order: every file covers every k — nothing prunes")
+
+    val sorted = log.compact(spark, schema, targetFiles = 4,
+      statsColumns = Seq("k"), sortBy = Seq("k"))
+    assert(sorted.isDefined,
+      "a sorted compaction must run even at-or-under the file target")
+    val id = sorted.get
+    // content identical, ranges now disjoint: a selective filter plans ~1/4
+    val all = log.scan(spark, schema)
+    assert(all.count() == 1000)
+    assert(all.select(org.apache.spark.sql.functions.sum(col("k")))
+      .first().getLong(0) == (0L until 1000L).sum)
+    val kept = planned(id, LessThan(kAttr, Literal(100L)))
+    assert(kept < 4 && kept >= 1,
+      s"after clustering, k < 100 must plan a strict subset of files, got $kept")
+    // row-level correctness through the pruned plan
+    assert(log.scan(spark, schema).filter(col("k") < 100L).count() == 100)
+  }
+
   test("additive schema evolution: old files null-fill new columns, pruning stays sound") {
     val dir = tmpDir("snap_evo")
     val log = new SnapshotLog(dir)
