@@ -232,6 +232,32 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dstLog.txnVersion(s"streaming-extract:$ckpt").isDefined)
   }
 
+  test("micro-batches plan from the manifest: ManifestFileIndex in the scan") {
+    val dir = tmpDir("stream_plan")
+    val log = new SnapshotLog(dir)
+    append(log, 0 until 8)
+    // the foreachBatch df wraps a re-materialized RDD; the SOURCE scan plan
+    // lives on the stream's incremental execution
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = readStream(dir).writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => { df.count(): Unit })
+      .option("checkpointLocation", tmpDir("stream_plan_ck")).start()
+    val se = q.asInstanceOf[
+      org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery
+    try {
+      q.processAllAvailable()
+      plans += se.lastExecution.executedPlan.toString
+      append(log, 8 until 12)
+      q.processAllAvailable()
+      plans += se.lastExecution.executedPlan.toString
+    } finally q.stop()
+    // both the initial full load and the incremental tail batch must scan
+    // through the manifest-fed index — zero listing/stat calls per batch
+    assert(plans.size == 2 && plans.forall(_.contains("ManifestFileIndex")),
+      s"every micro-batch must plan via ManifestFileIndex:\n${plans.head.take(800)}")
+  }
+
   test("maxSnapshotsPerTrigger drains a deep backlog in bounded micro-batches") {
     val dir = tmpDir("stream_rate")
     val log = new SnapshotLog(dir)
