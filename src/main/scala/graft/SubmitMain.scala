@@ -147,8 +147,9 @@ object SubmitMain {
           // rewrite (disjoint per-file ranges -> precise file skipping)
           val tableDir = args(1)
           val target = if (args.length > 2) args(2).toInt else 128
-          val sortBy = if (args.length > 3) args(3).split(',').toSeq.filter(_.nonEmpty)
-            else Seq.empty[String]
+          val sortBy = if (args.length > 3)
+            args(3).stripPrefix("sortBy=").split(',').toSeq.filter(_.nonEmpty)
+          else Seq.empty[String]
           new SnapshotLog(tableDir).compact(spark, Schemas.extractedSchema, target,
               statsColumns = (Seq("bucket") ++ sortBy).distinct, sortBy = sortBy) match {
             case Some(id) =>

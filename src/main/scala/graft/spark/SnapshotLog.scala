@@ -664,6 +664,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     val tmp = new HPath(root,
       "data/.compact-" + java.util.UUID.randomUUID().toString)
     try {
+      requireSchemaCovers(spark, schema, sized.map(_._1), "compaction")
       if (sortBy.nonEmpty) {
         // CLUSTERED rewrite (Iceberg's rewrite-with-sort-order, re-derived):
         // ONE range exchange moves the bytes once so output files carry
@@ -673,9 +674,13 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         // min/max spans the whole domain. The shuffle is the price of
         // clustering and is paid once per maintenance cycle; range
         // boundaries come from Spark's reservoir sampling, so output bytes
-        // stay balanced under skew
+        // stay balanced under skew. The read plans from the manifest
+        // (sizes already in hand) — a bare spark.read.parquet would re-stat
+        // every live file on the driver, the exact cost C11 exists to kill
         import org.apache.spark.sql.functions.col
-        spark.read.schema(schema).parquet(sized.map(_._1): _*)
+        val entries = meta.zip(sized).map { case (m, (_, sz)) =>
+          ManifestEntry(m.path, sz, m.stats) }
+        ManifestScan(spark, io.extern(root), schema, entries)
           .repartitionByRange(math.max(1, bins.size), sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
           .write.mode("overwrite").parquet(io.extern(tmp))
@@ -1000,6 +1005,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     val tmp = new HPath(root,
       "data/.delete-" + java.util.UUID.randomUUID().toString)
     try {
+      requireSchemaCovers(spark, schema, affected.toSeq, "the delete rewrite")
       survivors(spark.read.schema(schema).parquet(affected.toSeq.sorted: _*))
         .write.mode("overwrite").parquet(io.extern(tmp))
       val dest = dataDirPath(id)
@@ -1019,6 +1025,28 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     } finally {
       if (io.exists(tmp)) io.delete(tmp, recursive = true): Unit
     }
+  }
+
+  /** Loud guard for every REWRITE that reads files back through a
+    * caller-supplied schema: the schema must cover every column physically
+    * present in those files, else the rewrite would silently DROP evolved
+    * columns — an additively-evolved table (C22) compacted with the
+    * pre-evolution schema loses the new column for every row once expire
+    * reclaims history. The footer sweep is a distributed mergeSchema
+    * inference, amortized against the rewrite's full data pass (this guard
+    * only runs on maintenance operations that rewrite bytes anyway).
+    */
+  private def requireSchemaCovers(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      files: Seq[String], what: String): Unit = {
+    if (files.isEmpty) return
+    val declared = schema.fieldNames.toSet
+    val inferred = spark.read.option("mergeSchema", "true")
+      .parquet(files: _*).schema.fieldNames
+    val missing = inferred.filterNot(declared)
+    require(missing.isEmpty,
+      s"$what would silently DROP columns present in the data files: " +
+        s"${missing.mkString(", ")} — pass the table's current (widened) schema")
   }
 
   /** Commit a snapshot whose content is `parent` minus `removed` files plus

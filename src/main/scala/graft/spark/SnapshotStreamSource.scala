@@ -140,7 +140,9 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
 final class SnapshotStreamSource(sqlContext: SQLContext, path: String,
     log: SnapshotLog, override val schema: StructType,
     startingAfter: Option[Long],
-    maxSnapshotsPerTrigger: Option[Long] = None) extends Source {
+    maxSnapshotsPerTrigger: Option[Long] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private case class SnapOffset(id: Long) extends Offset {
     override def json: String = id.toString
@@ -150,28 +152,68 @@ final class SnapshotStreamSource(sqlContext: SQLContext, path: String,
 
   /** Highest offset already handed to the engine — the rate-limit base.
     * Recovered lazily from the checkpoint: the engine replays the pending
-    * batch via [[getBatch]] (whose `end` advances this) BEFORE asking
-    * [[getOffset]] for new data, so a restart resumes the ladder exactly
-    * where the checkpoint left it. -1 = nothing delivered yet.
+    * batch via [[getBatch]] (whose `end` advances this) BEFORE asking for
+    * new offsets, so a restart resumes the ladder exactly where the
+    * checkpoint left it. -1 = nothing delivered yet.
     */
   @volatile private var delivered: Long = -1L
 
-  override def getOffset: Option[Offset] = {
-    val head = log.currentSnapshot()
-    // nothing to emit until a commit lands past the starting point
-    val base = math.max(delivered, startingAfter.getOrElse(-1L))
+  /** Head captured by [[prepareForTriggerAvailableNow]]: under
+    * `Trigger.AvailableNow` the drain walks up to the snapshot committed at
+    * stream start — in `maxSnapshotsPerTrigger`-bounded steps — then the
+    * query stops. -1 records "empty table at start" (nothing to drain).
+    * Implementing SupportsTriggerAvailableNow is what makes AvailableNow +
+    * rate limit a MULTI-batch drain: a plain V1 Source falls back to
+    * single-batch execution under that trigger (the wrapper conf is off by
+    * default), which would silently stop after ONE capped batch.
+    */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(log.currentSnapshot().getOrElse(-1L))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    // maxRows is the engine-opaque marker carrying our cap; the unit is
+    // SNAPSHOTS (this source's admission granularity), interpreted only here
+    maxSnapshotsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+  }
+
+  /** Admission control: the next micro-batch's end offset given where the
+    * engine already is. Bounds each batch to `maxSnapshotsPerTrigger` append
+    * commits, so a stream restarted after a week of lag walks the backlog in
+    * bounded steps instead of planning the whole week as ONE batch (Delta's
+    * maxFilesPerTrigger position). The cap needs a diff base, so the very
+    * first batch of a full-table load (base = -1, no startingSnapshot) is
+    * uncapped — it reads one committed table state, which a batch job reads
+    * anyway. Returning `startOffset` unchanged signals "no new data".
+    */
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val start = Option(startOffset).map(_.json.trim.toLong).getOrElse(-1L)
+    val base = Seq(delivered, start, startingAfter.getOrElse(-1L)).max
+    val head = (log.currentSnapshot(), availableNowCap) match {
+      case (Some(h), Some(cap)) => Some(math.min(h, cap)) // never past the prepared head
+      case (h, _) => h
+    }
     val capped = maxSnapshotsPerTrigger match {
-      // bound the micro-batch to N snapshots of appends: a stream restarted
-      // after a week of lag walks the backlog in bounded steps instead of
-      // planning the whole week as ONE batch (Delta's maxFilesPerTrigger
-      // position). The cap needs a diff base, so the very first batch of a
-      // full-table load (base = -1, no startingSnapshot) is uncapped — it
-      // reads one committed table state, which a batch job reads anyway.
       case Some(n) if base >= 0 => head.map(h => math.min(h, base + n))
       case _ => head
     }
-    capped.filter(_ > base).map(SnapOffset(_))
+    capped.filter(_ > base).map(SnapOffset(_).asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.Offset])
+      .getOrElse(startOffset) // may be null on a never-delivered empty table
   }
+
+  override def getOffset: Option[Offset] =
+    Option(latestOffset(null, getDefaultReadLimit)).map(o => SnapOffset(idOf2(o)))
+
+  private def idOf2(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o.json.trim.toLong
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // `startingSnapshot = latest` on an empty table resolves to -1 ("before

@@ -473,6 +473,26 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the streaming tail sees evolved batches under the widened schema too
     val inc = log.scanIncremental(spark, v2.schema, 0L)
     assert(inc.count() == 10 && inc.filter(col("extra").isNotNull).count() == 10)
+
+    // REWRITES guard the evolution: compacting (or deleting) through the
+    // pre-evolution schema would silently drop `extra` for every row once
+    // expire reclaims history — it must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      log.compact(spark, v1.schema, targetFiles = 1)
+    }
+    assert(e.getMessage.contains("extra") && e.getMessage.contains("DROP"),
+      e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      log.deleteWhere(spark, v1.schema, col("id") === 15L)
+    }
+    assert(e2.getMessage.contains("extra"), e2.getMessage)
+    // with the widened schema both rewrites run and preserve the column
+    assert(log.compact(spark, v2.schema, targetFiles = 1).isDefined)
+    assert(log.scan(spark, v2.schema).filter(col("extra").isNotNull).count() == 10)
+    assert(log.deleteWhere(spark, v2.schema, col("id") === 15L).isDefined)
+    val after = log.scan(spark, v2.schema)
+    assert(after.count() == 19 &&
+      after.filter(col("extra").isNotNull).count() == 9)
   }
 
   test("commitIdempotent: replayed versions skip; watermarks survive rewrites") {

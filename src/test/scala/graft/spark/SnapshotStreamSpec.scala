@@ -271,14 +271,20 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows.foreach(seen.add)
       batchSizes.add(rows.length): Unit
     }
+    // Trigger.AvailableNow — the trigger every shipped pipeline uses. The
+    // source implements SupportsTriggerAvailableNow, so the capped drain is
+    // a MULTI-batch walk to the head-at-start; a plain V1 Source would fall
+    // back to single-batch execution and silently stop after ONE capped
+    // batch (2 of 6 snapshots), reporting success
     val q = spark.readStream.format("graft-snapshots").schema(schema)
       .option("startingSnapshot", s0.toString)
       .option("maxSnapshotsPerTrigger", "2")
       .load(dir)
       .writeStream.foreachBatch(sink _)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("stream_rate_ck")).start()
     try {
-      q.processAllAvailable()
+      assert(q.awaitTermination(120000), "AvailableNow drain must terminate")
       import scala.jdk.CollectionConverters._
       assert(seen.asScala.toSeq.sorted == (4L until 28L),
         "the capped drain must still deliver the whole backlog exactly once")
