@@ -43,6 +43,7 @@ object SubmitMain {
         |  lsh-index <embeddingsParquet> <indexDir>
         |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]
         |  repair-metrics <tableDir>
+        |  upsert  <tableDir> <updatesParquet> [keyCol=url]
         |  tail    <tableDir> <fromSnapshot> <outDir>
         |  pipeline <pagesParquet> <tableDir> <dedupedDir> [numBuckets=32]
         |  stream  <pagesTableDir> <tableDir> <dedupedDir> <checkpointRoot> [numBuckets=32]""".stripMargin)
@@ -210,6 +211,17 @@ object SubmitMain {
             .awaitTermination()
           val head = new SnapshotLog(dedupedDir).currentSnapshot()
           println(s"stream drained: deduped table at ${head.fold("<empty>")(h => s"snapshot $h")}")
+        case "upsert" =>
+          // copy-on-write MERGE (C23): replace rows whose url appears in the
+          // updates parquet, insert the rest — what a partial re-extract
+          // lands instead of a full-table replace
+          val Array(_, tableDir, updatesPath) = args.take(3)
+          val keyCol = if (args.length > 3) args(3) else "url"
+          val updates = spark.read.schema(Schemas.extractedSchema).parquet(updatesPath)
+          val id = new SnapshotLog(tableDir).upsertMatching(
+            spark, Schemas.extractedSchema, updates, keyCol,
+            statsColumns = Seq("bucket"))
+          println(s"merged ${updates.count()} rows on $keyCol (snapshot $id)")
         case "repair-metrics" =>
           // lineage backfill: a crash between snapshot commit and metrics
           // append leaves a committed snapshot with no lineage row; re-derive

@@ -957,6 +957,59 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       df => df.join(k, Seq(keyCol), "left_anti"), statsColumns))
   }
 
+  /** Copy-on-write UPSERT — `MERGE INTO t USING u ON t.key = u.key WHEN
+    * MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT`, re-derived on the
+    * delete machinery: rows whose `keyCol` appears in `updates` are REPLACED
+    * by the update row, keys the table does not hold are INSERTED, all in
+    * ONE rewrite commit. The scale shape mirrors [[deleteMatching]]: locate
+    * = semi-join (only files holding a matched key are touched), rewrite =
+    * those files' survivors (anti-join) PLUS the full update set staged as
+    * new files, every untouched file carried by path identity — updating
+    * 0.1% of a 100 TB corpus moves 0.1% of the bytes plus the update set.
+    * This is what "re-extract these N urls after a kernel fix" runs instead
+    * of a full-table replace.
+    *
+    * `updates` must be key-unique (duplicate keys would both land, making
+    * the merge ambiguous — rejected loudly). A table with NO matched key
+    * degrades to a plain append of `updates`. Same commit/failure semantics
+    * as [[deleteWhere]]; incremental readers fail loudly across the rewrite
+    * unless nothing was rewritten (pure insert = a plain append commit).
+    */
+  def upsertMatching(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      updates: org.apache.spark.sql.DataFrame, keyCol: String,
+      statsColumns: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val cols = schema.fieldNames.map(col).toSeq
+    val u = updates.select(cols: _*)
+    require(u.select(keyCol).distinct().count() == u.count(),
+      s"updates must be unique per $keyCol — duplicate update keys make the " +
+        "merge ambiguous (both rows would land)")
+    val parent = currentSnapshot().getOrElse {
+      // empty table: the whole upsert is an insert
+      val stage = stageUniqueDataDir()
+      u.write.mode("overwrite").parquet(stage)
+      return commitOptimistic(stage, statsColumns)
+    }
+    val keys = u.select(keyCol)
+    val (affected, affectedSegs) = affectedFiles(parent,
+      scan(spark, schema, asOf = Some(parent))
+        .withColumn("__graft_file", input_file_name())
+        .join(keys, Seq(keyCol), "left_semi")
+        .select(col("__graft_file").as("f")))
+    if (affected.isEmpty) {
+      // no matched key anywhere: a pure append (cheapest possible commit —
+      // incremental readers keep tailing straight through it)
+      val stage = stageUniqueDataDir()
+      u.write.mode("overwrite").parquet(stage)
+      commitOptimistic(stage, statsColumns,
+        requireParent = Some(parent))
+    } else
+      rewriteExcluding(spark, schema, parent, affected, affectedSegs,
+        df => df.join(keys, Seq(keyCol), "left_anti").select(cols: _*)
+          .unionByName(u), statsColumns)
+  }
+
   /** Manifest paths of the files named by `fileNames` (a one-column
     * DataFrame of `input_file_name()` values). The reader reports URI form
     * (`file:///a/b`) while manifest entries are extern'd (`/a/b` for

@@ -171,4 +171,65 @@ class SnapshotDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(survivors.select("text").distinct().count() == 10)
     assert(idsOf(survivors) == (0L until 10L), "the representative (min id) survives")
   }
+
+  test("upsertMatching: matched rows replaced, new keys inserted, one commit") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("upsert_cow")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(40).select(col("id"), (col("id") * 10).as("v"))
+    // two commits, two files each — four files with known id ranges
+    for (i <- 0 until 2) {
+      val stage = log.stageDataDir(i.toLong)
+      rows.filter(col("id") >= i * 20 && col("id") < i * 20 + 10)
+        .repartition(1).write.parquet(stage + "/a")
+      rows.filter(col("id") >= i * 20 + 10 && col("id") < (i + 1) * 20)
+        .repartition(1).write.parquet(stage + "/b")
+      log.commit(i.toLong)
+    }
+    val before = log.filesAt(1L)
+    assert(before.size == 4)
+
+    // update ids 5, 15 (files 0/a and 0/b) and insert ids 100, 101
+    val updates = Seq((5L, -5L), (15L, -15L), (100L, -100L), (101L, -101L))
+      .toDF("id", "v")
+    val id2 = log.upsertMatching(spark, rows.schema, updates, "id")
+    assert(id2 == 2L)
+    val got = log.scan(spark, rows.schema).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 42)
+    assert(got(5L) == -5L && got(15L) == -15L,
+      "matched keys must carry the UPDATE row")
+    assert(got(100L) == -100L && got(101L) == -101L,
+      "unmatched keys must be INSERTED")
+    assert(got(6L) == 60L && got(25L) == 250L, "untouched rows unchanged")
+    // commit-1's files (ids 20-39) held no matched key: carried by path
+    // identity, zero bytes moved
+    val after = log.filesAt(2L).toSet
+    val untouched = before.filter(p => p.contains("snap-1/"))
+    assert(untouched.forall(after.contains),
+      "files without a matched key must carry by path identity")
+    assert(before.filterNot(p => p.contains("snap-1/")).forall(!after.contains(_)),
+      "files holding matched keys must be rewritten")
+    // history time-travels to the pre-merge table
+    assert(log.scan(spark, rows.schema, asOf = Some(1L)).count() == 40)
+
+    // no matched key: degrades to a plain APPEND (incremental readers keep
+    // tailing straight through it)
+    val ins = Seq((200L, 1L)).toDF("id", "v")
+    val id3 = log.upsertMatching(spark, rows.schema, ins, "id")
+    assert(log.isAppendOf(id3, id2), "a pure-insert upsert must be an append")
+    assert(log.scan(spark, rows.schema).count() == 43)
+
+    // ambiguous updates (duplicate keys) are rejected loudly
+    val dup = Seq((7L, 1L), (7L, 2L)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      log.upsertMatching(spark, rows.schema, dup, "id")
+    }
+    assert(e.getMessage.contains("unique"), e.getMessage)
+
+    // empty table: the whole upsert inserts
+    val log2 = new SnapshotLog(tmpDir("upsert_fresh"))
+    assert(log2.upsertMatching(spark, rows.schema, ins, "id") == 0L)
+    assert(log2.scan(spark, rows.schema).count() == 1)
+  }
 }
