@@ -44,6 +44,7 @@ object SubmitMain {
         |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]
         |  repair-metrics <tableDir>
         |  upsert  <tableDir> <updatesParquet> [keyCol=url]
+        |  reextract <pagesParquet> <tableDir> <urlsParquet> [numBuckets=32]
         |  tail    <tableDir> <fromSnapshot> <outDir>
         |  pipeline <pagesParquet> <tableDir> <dedupedDir> [numBuckets=32]
         |  stream  <pagesTableDir> <tableDir> <dedupedDir> <checkpointRoot> [numBuckets=32]""".stripMargin)
@@ -72,7 +73,7 @@ object SubmitMain {
     // compact's targetFiles is optional; tail needs 4 args; the rest 3
     val minArgs = args.headOption match {
       case Some("compact") | Some("orphans") | Some("repair-metrics") => 2
-      case Some("tail") | Some("pipeline") => 4
+      case Some("tail") | Some("pipeline") | Some("reextract") => 4
       case Some("stream") => 5
       case _ => 3
     }
@@ -211,6 +212,19 @@ object SubmitMain {
             .awaitTermination()
           val head = new SnapshotLog(dedupedDir).currentSnapshot()
           println(s"stream drained: deduped table at ${head.fold("<empty>")(h => s"snapshot $h")}")
+        case "reextract" =>
+          // partial re-extract (C23 composition): re-run the kernel over the
+          // named urls only and merge the fresh rows — the scale-correct
+          // form of --force for "the kernel was fixed for these documents"
+          val Array(_, pagesPath, tableDir, urlsPath) = args.take(4)
+          val buckets = if (args.length > 4) args(4).toInt else 32
+          val pages = spark.read.schema(Schemas.pagesSchema).parquet(pagesPath)
+            .as[Schemas.Page](org.apache.spark.sql.Encoders.product[Schemas.Page])
+          ExtractJob.reextract(spark, pages, tableDir,
+            spark.read.parquet(urlsPath), buckets) match {
+            case Some(id) => println(s"re-extracted and merged (snapshot $id)")
+            case None => println("no named url present in the pages input; no-op")
+          }
         case "upsert" =>
           // copy-on-write MERGE (C23): replace rows whose url appears in the
           // updates parquet, insert the rest — what a partial re-extract

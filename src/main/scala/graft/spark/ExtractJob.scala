@@ -170,6 +170,40 @@ object ExtractJob {
   def readExtracted(spark: SparkSession, tableDir: String): DataFrame =
     new SnapshotLog(tableDir).scan(spark, Schemas.extractedSchema)
 
+  /** PARTIAL re-extract: re-run the kernel over only the pages whose url is
+    * in `urls` and MERGE the fresh rows into the table
+    * ([[SnapshotLog.upsertMatching]]) — the scale-correct form of the
+    * reference's force re-extract for "the kernel was fixed for these
+    * documents": `force = true` replaces the WHOLE table (claim.py:34's
+    * all-or-nothing), this touches only the files holding the named urls
+    * plus one staged update set. Urls absent from the table are inserted
+    * (they are new extractions); urls absent from `pages` are simply not in
+    * the update set (nothing to re-run). The A1 success gate holds over the
+    * re-extracted subset exactly as over a batch. Returns the committed
+    * snapshot, or None when `urls` selects no page.
+    */
+  def reextract(
+      spark: SparkSession,
+      pages: Dataset[Schemas.Page],
+      tableDir: String,
+      urls: DataFrame,
+      numBuckets: Int = 32): Option[Long] = {
+    import spark.implicits._
+    val subset = pages.toDF()
+      .join(urls.select("url").distinct(), Seq("url"), "left_semi")
+      .as[Schemas.Page]
+    val fresh = extractDF(subset, numBuckets).persist()
+    try {
+      val total = fresh.count()
+      if (total == 0L) return None
+      val ok = fresh.filter(col("ok")).count()
+      if (ok.toDouble / total < SuccessRatio) throw GateFailed(ok, total)
+      Some(new SnapshotLog(tableDir).upsertMatching(spark,
+        Schemas.extractedSchema, fresh.drop("ok"), "url",
+        statsColumns = Seq("bucket")))
+    } finally fresh.unpersist(): Unit
+  }
+
   /** Re-derive lineage rows for committed snapshots MISSING from the metrics
     * table — run() commits the snapshot before appending metrics (the commit
     * must never depend on a second write landing), so a crash in between

@@ -435,6 +435,45 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"url partitioning must propagate through the operator:\n${urlPlan.take(1500)}")
   }
 
+  test("partial re-extract: only the named urls' files move, rows refresh in place") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("reextract")
+    val pages = spark.createDataset(fixture.take(60))
+    assert(ExtractJob.run(spark, pages, dir, numBuckets = 4).contains(0L))
+    val log = new SnapshotLog(dir)
+    val before = ExtractJob.readExtracted(spark, dir)
+      .select("url", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // "the kernel was fixed for these two documents": simulate with changed
+    // page payloads for two urls, then re-extract exactly those
+    val targets = fixture.take(2).map(_.url)
+    val fixed = spark.createDataset(fixture.take(60).map { p =>
+      if (targets.contains(p.url))
+        p.copy(html = ("<html><body><p>" + ("fixed content word " * 30) +
+          "</p></body></html>").getBytes("UTF-8"))
+      else p
+    })
+    val filesBefore = log.currentFiles().toSet
+    val r = ExtractJob.reextract(spark, fixed, dir, targets.toDF("url"), numBuckets = 4)
+    assert(r.contains(1L))
+
+    val after = ExtractJob.readExtracted(spark, dir)
+      .select("url", "text").collect().map(r2 => r2.getString(0) -> r2.getString(1)).toMap
+    assert(after.size == 60)
+    for (u <- targets)
+      assert(after(u) != before(u) && after(u).contains("fixed content"),
+        s"$u must carry the re-extracted text")
+    for ((u, t) <- before if !targets.contains(u))
+      assert(after(u) == t, s"$u must be untouched")
+    // copy-on-write: files holding no target url carried by path identity
+    val filesAfter = log.currentFiles().toSet
+    assert((filesBefore intersect filesAfter).nonEmpty,
+      "untouched files must carry into the merged snapshot by path identity")
+    // re-running with no matching url is a no-op
+    assert(ExtractJob.reextract(spark, fixed, dir,
+      Seq("http://nowhere.example.com/x").toDF("url"), 4).isEmpty)
+  }
+
   test("streaming extract (AvailableNow): same kernel output, incremental restart") {
     val sp = spark; import sp.implicits._
     val inDir = tmpDir("stream_in")
