@@ -230,12 +230,12 @@ object SubmitMain {
           // updates parquet, insert the rest — what a partial re-extract
           // lands instead of a full-table replace
           val Array(_, tableDir, updatesPath) = args.take(3)
-          val keyCol = if (args.length > 3) args(3) else "url"
+          val keyCol = if (args.length > 3) args(3).stripPrefix("keyCol=") else "url"
           val updates = spark.read.schema(Schemas.extractedSchema).parquet(updatesPath)
           val id = new SnapshotLog(tableDir).upsertMatching(
             spark, Schemas.extractedSchema, updates, keyCol,
-            statsColumns = Seq("bucket"))
-          println(s"merged ${updates.count()} rows on $keyCol (snapshot $id)")
+            statsColumns = Seq("bucket"), clusterBy = Seq("bucket"))
+          println(s"merged updates on $keyCol (snapshot $id)")
         case "repair-metrics" =>
           // lineage backfill: a crash between snapshot commit and metrics
           // append leaves a committed snapshot with no lineage row; re-derive

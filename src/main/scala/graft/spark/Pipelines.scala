@@ -164,7 +164,7 @@ object Pipelines {
       .filter(col("rn") === 1).drop("rn")
     // first-committed-wins: a digest already in the corpus drops the new row
     val survivors = reps.join(existing, Seq("fp"), "left_anti")
-      .select(dedupedSchema.fieldNames.map(col): _*)
+      .select(dedupedSchema.fieldNames.toIndexedSeq.map(col): _*)
     val stage = dlog.stageUniqueDataDir()
     survivors.write.mode("overwrite").parquet(stage)
     // parquet footer count — the slice was just written, no second scan

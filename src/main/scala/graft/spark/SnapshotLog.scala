@@ -646,25 +646,30 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     // its point, not file count
     if (sortBy.isEmpty && meta.size <= targetFiles) return None
     // manifest-recorded sizes drive the binning (zero stats for post-r4
-    // commits); a legacy entry without one is stat'ed once here
-    val sized = meta.map { m =>
-      (m.path, m.size.getOrElse(
-        try io.len(new HPath(m.path)) catch { case _: java.io.IOException => 0L }))
+    // commits); a legacy entry without one is stat'ed once here. A FAILED
+    // stat is None, never 0: binning tolerates an unknown (bin shapes only),
+    // but the clustered read below must not plan a file at length 0 — zero
+    // length means zero splits means that file's rows silently vanish from
+    // the replace commit (round-5 review pass 3)
+    val sized: Seq[(String, Option[Long])] = meta.map { m =>
+      (m.path, m.size.orElse(
+        try Some(io.len(new HPath(m.path)))
+        catch { case _: java.io.IOException => None }))
     }
     val targetBytes = math.max(1L,
-      (sized.map(_._2).sum + targetFiles - 1) / targetFiles)
+      (sized.map(_._2.getOrElse(0L)).sum + targetFiles - 1) / targetFiles)
     val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     var bin = scala.collection.mutable.ArrayBuffer.empty[String]
     var acc = 0L
     sized.foreach { case (p, sz) =>
-      bin += p; acc += sz
+      bin += p; acc += sz.getOrElse(0L)
       if (acc >= targetBytes) { bins += bin.toSeq; bin = bin.take(0); acc = 0L }
     }
     if (bin.nonEmpty) bins += bin.toSeq
     val tmp = new HPath(root,
       "data/.compact-" + java.util.UUID.randomUUID().toString)
     try {
-      requireSchemaCovers(spark, schema, sized.map(_._1), "compaction")
+      requireSchemaCovers(schema, schemaProbePaths(current), "compaction")
       if (sortBy.nonEmpty) {
         // CLUSTERED rewrite (Iceberg's rewrite-with-sort-order, re-derived):
         // ONE range exchange moves the bytes once so output files carry
@@ -676,11 +681,18 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         // boundaries come from Spark's reservoir sampling, so output bytes
         // stay balanced under skew. The read plans from the manifest
         // (sizes already in hand) — a bare spark.read.parquet would re-stat
-        // every live file on the driver, the exact cost C11 exists to kill
+        // every live file on the driver, the exact cost C11 exists to kill.
+        // Any file with NO trustworthy size (legacy entry + failed stat)
+        // falls the whole read back to the listing path: planning it at a
+        // guessed length risks dropping its rows (same rule scan() follows)
         import org.apache.spark.sql.functions.col
-        val entries = meta.zip(sized).map { case (m, (_, sz)) =>
-          ManifestEntry(m.path, sz, m.stats) }
-        ManifestScan(spark, io.extern(root), schema, entries)
+        val src =
+          if (sized.forall(_._2.isDefined)) {
+            val entries = meta.zip(sized).map { case (m, (_, sz)) =>
+              ManifestEntry(m.path, sz.get, m.stats) }
+            ManifestScan(spark, io.extern(root), schema, entries)
+          } else spark.read.schema(schema).parquet(sized.map(_._1): _*)
+        src
           .repartitionByRange(math.max(1, bins.size), sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
           .write.mode("overwrite").parquet(io.extern(tmp))
@@ -974,11 +986,18 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * degrades to a plain append of `updates`. Same commit/failure semantics
     * as [[deleteWhere]]; incremental readers fail loudly across the rewrite
     * unless nothing was rewritten (pure insert = a plain append commit).
+    *
+    * `clusterBy` co-locates the written rows by the named columns (the
+    * extracted table passes `bucket`) so each merged file spans a narrow
+    * column range and the `statsColumns` it records keep pruning — without
+    * it, update files span the full domain and defeat C16 file skipping on
+    * exactly the files this commit writes.
     */
   def upsertMatching(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
       updates: org.apache.spark.sql.DataFrame, keyCol: String,
-      statsColumns: Seq[String] = Nil): Long = {
+      statsColumns: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val cols = schema.fieldNames.map(col).toSeq
     val u = updates.select(cols: _*)
@@ -986,10 +1005,13 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       s"updates must be unique per $keyCol — duplicate update keys make the " +
         "merge ambiguous (both rows would land)")
     val parent = currentSnapshot().getOrElse {
-      // empty table: the whole upsert is an insert
+      // empty table: the whole upsert is an insert — still CONDITIONAL on
+      // the table staying empty (a racer's first append could hold the same
+      // keys; landing on it unchecked would silently duplicate them)
       val stage = stageUniqueDataDir()
-      u.write.mode("overwrite").parquet(stage)
-      return commitOptimistic(stage, statsColumns)
+      clustered(u, clusterBy).write.mode("overwrite").parquet(stage)
+      return commitOptimistic(stage, statsColumns,
+        requireParent = Some(-1L))
     }
     val keys = u.select(keyCol)
     val (affected, affectedSegs) = affectedFiles(parent,
@@ -1001,14 +1023,23 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       // no matched key anywhere: a pure append (cheapest possible commit —
       // incremental readers keep tailing straight through it)
       val stage = stageUniqueDataDir()
-      u.write.mode("overwrite").parquet(stage)
+      clustered(u, clusterBy).write.mode("overwrite").parquet(stage)
       commitOptimistic(stage, statsColumns,
         requireParent = Some(parent))
     } else
       rewriteExcluding(spark, schema, parent, affected, affectedSegs,
-        df => df.join(keys, Seq(keyCol), "left_anti").select(cols: _*)
-          .unionByName(u), statsColumns)
+        df => clustered(df.join(keys, Seq(keyCol), "left_anti")
+          .select(cols: _*).unionByName(u), clusterBy), statsColumns)
   }
+
+  /** Hash-co-locate rows on the named columns before a write, so each
+    * written file covers a narrow range of them (tight manifest stats).
+    * No-op when no columns are named.
+    */
+  private def clustered(df: org.apache.spark.sql.DataFrame,
+      clusterBy: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (clusterBy.isEmpty) df
+    else df.repartition(clusterBy.map(org.apache.spark.sql.functions.col): _*)
 
   /** Manifest paths of the files named by `fileNames` (a one-column
     * DataFrame of `input_file_name()` values). The reader reports URI form
@@ -1058,7 +1089,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     val tmp = new HPath(root,
       "data/.delete-" + java.util.UUID.randomUUID().toString)
     try {
-      requireSchemaCovers(spark, schema, affected.toSeq, "the delete rewrite")
+      requireSchemaCovers(schema, affected.toSeq, "the delete rewrite")
       survivors(spark.read.schema(schema).parquet(affected.toSeq.sorted: _*))
         .write.mode("overwrite").parquet(io.extern(tmp))
       val dest = dataDirPath(id)
@@ -1082,24 +1113,60 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
 
   /** Loud guard for every REWRITE that reads files back through a
     * caller-supplied schema: the schema must cover every column physically
-    * present in those files, else the rewrite would silently DROP evolved
-    * columns — an additively-evolved table (C22) compacted with the
+    * present in the probed files, else the rewrite would silently DROP
+    * evolved columns — an additively-evolved table (C22) compacted with the
     * pre-evolution schema loses the new column for every row once expire
-    * reclaims history. The footer sweep is a distributed mergeSchema
-    * inference, amortized against the rewrite's full data pass (this guard
-    * only runs on maintenance operations that rewrite bytes anyway).
+    * reclaims history. Probes footers DIRECTLY from manifest paths (parallel
+    * driver IO, no listing job — a mergeSchema read would re-list and
+    * re-stat every file, the cost this metadata layer exists to avoid); the
+    * caller bounds the probe set ([[schemaProbePaths]]: one file per
+    * segment; a delete/upsert: its affected files). A footer that fails to
+    * read is skipped — the rewrite's own read fails loudly on a genuinely
+    * unreadable file.
     */
-  private def requireSchemaCovers(spark: org.apache.spark.sql.SparkSession,
+  private def requireSchemaCovers(
       schema: org.apache.spark.sql.types.StructType,
-      files: Seq[String], what: String): Unit = {
-    if (files.isEmpty) return
+      probeFiles: Seq[String], what: String): Unit = {
+    if (probeFiles.isEmpty) return
     val declared = schema.fieldNames.toSet
-    val inferred = spark.read.option("mergeSchema", "true")
-      .parquet(files: _*).schema.fieldNames
-    val missing = inferred.filterNot(declared)
+    def fields(p: String): Seq[String] =
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new HPath(p), hadoopConf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSeq
+        finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val inferred: Seq[String] =
+      if (probeFiles.length < 4) probeFiles.flatMap(fields)
+      else probeFiles.asJava.parallelStream()
+        .map[Seq[String]](p => fields(p))
+        .collect(java.util.stream.Collectors.toList[Seq[String]])
+        .asScala.toSeq.flatten
+    val missing = inferred.distinct.filterNot(declared)
     require(missing.isEmpty,
       s"$what would silently DROP columns present in the data files: " +
         s"${missing.mkString(", ")} — pass the table's current (widened) schema")
+  }
+
+  /** One representative file per manifest segment (+ every legacy inline
+    * entry) — a sufficient schema probe because a segment's files come from
+    * ONE commit = one writer schema (a rewritten `-rw` segment partitions
+    * one parent segment's lines, preserving that). The sole mixed case is a
+    * legacy-inline migration commit folding pre-round-4 inline entries into
+    * a fresh segment — those entries predate schema evolution entirely.
+    */
+  private def schemaProbePaths(snapshotId: Long): Seq[String] = {
+    val (segments, inline) = parseList(snapshotId)
+    val heads: Seq[String] =
+      if (segments.length < 4)
+        segments.flatMap(sg => readSegment(sg).headOption.map(_.path))
+      else segments.asJava.parallelStream()
+        .map[Option[String]](sg => readSegment(sg).headOption.map(_.path))
+        .collect(java.util.stream.Collectors.toList[Option[String]])
+        .asScala.toSeq.flatten
+    heads ++ inline.map(f => io.extern(io.path(f)))
   }
 
   /** Commit a snapshot whose content is `parent` minus `removed` files plus

@@ -148,7 +148,11 @@ final class SnapshotStreamSource(sqlContext: SQLContext, path: String,
     override def json: String = id.toString
   }
 
-  private def idOf(o: Offset): Long = o.json.trim.toLong
+  // one parser for both offset families: the V1 Offset ABC extends the
+  // connector interface, and json is the single canonical form either way
+  private def idOf(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o.json.trim.toLong
 
   /** Highest offset already handed to the engine — the rate-limit base.
     * Recovered lazily from the checkpoint: the engine replays the pending
@@ -203,17 +207,13 @@ final class SnapshotStreamSource(sqlContext: SQLContext, path: String,
       case Some(n) if base >= 0 => head.map(h => math.min(h, base + n))
       case _ => head
     }
-    capped.filter(_ > base).map(SnapOffset(_).asInstanceOf[
-      org.apache.spark.sql.connector.read.streaming.Offset])
+    capped.filter(_ > base)
+      .map(SnapOffset(_): org.apache.spark.sql.connector.read.streaming.Offset)
       .getOrElse(startOffset) // may be null on a never-delivered empty table
   }
 
   override def getOffset: Option[Offset] =
-    Option(latestOffset(null, getDefaultReadLimit)).map(o => SnapOffset(idOf2(o)))
-
-  private def idOf2(
-      o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
-    o.json.trim.toLong
+    Option(latestOffset(null, getDefaultReadLimit)).map(o => SnapOffset(idOf(o)))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     // `startingSnapshot = latest` on an empty table resolves to -1 ("before
