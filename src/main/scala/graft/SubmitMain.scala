@@ -234,7 +234,8 @@ object SubmitMain {
           val updates = spark.read.schema(Schemas.extractedSchema).parquet(updatesPath)
           val id = new SnapshotLog(tableDir).upsertMatching(
             spark, Schemas.extractedSchema, updates, keyCol,
-            statsColumns = Seq("bucket"), clusterBy = Seq("bucket"))
+            statsColumns = Seq("bucket"), clusterBy = Seq("bucket"),
+            clusterParts = 32)
           println(s"merged updates on $keyCol (snapshot $id)")
         case "repair-metrics" =>
           // lineage backfill: a crash between snapshot commit and metrics

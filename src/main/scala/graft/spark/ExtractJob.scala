@@ -200,7 +200,8 @@ object ExtractJob {
       if (ok.toDouble / total < SuccessRatio) throw GateFailed(ok, total)
       Some(new SnapshotLog(tableDir).upsertMatching(spark,
         Schemas.extractedSchema, fresh.drop("ok"), "url",
-        statsColumns = Seq("bucket"), clusterBy = Seq("bucket")))
+        statsColumns = Seq("bucket"), clusterBy = Seq("bucket"),
+        clusterParts = numBuckets))
     } finally fresh.unpersist(): Unit
   }
 

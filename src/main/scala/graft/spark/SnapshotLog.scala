@@ -997,7 +997,8 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       schema: org.apache.spark.sql.types.StructType,
       updates: org.apache.spark.sql.DataFrame, keyCol: String,
       statsColumns: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): Long = {
+      clusterBy: Seq[String] = Nil,
+      clusterParts: Int = 0): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     val cols = schema.fieldNames.map(col).toSeq
     val u = updates.select(cols: _*)
@@ -1009,7 +1010,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       // the table staying empty (a racer's first append could hold the same
       // keys; landing on it unchecked would silently duplicate them)
       val stage = stageUniqueDataDir()
-      clustered(u, clusterBy).write.mode("overwrite").parquet(stage)
+      clustered(u, clusterBy, clusterParts).write.mode("overwrite").parquet(stage)
       return commitOptimistic(stage, statsColumns,
         requireParent = Some(-1L))
     }
@@ -1023,23 +1024,31 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       // no matched key anywhere: a pure append (cheapest possible commit —
       // incremental readers keep tailing straight through it)
       val stage = stageUniqueDataDir()
-      clustered(u, clusterBy).write.mode("overwrite").parquet(stage)
+      clustered(u, clusterBy, clusterParts).write.mode("overwrite").parquet(stage)
       commitOptimistic(stage, statsColumns,
         requireParent = Some(parent))
     } else
       rewriteExcluding(spark, schema, parent, affected, affectedSegs,
         df => clustered(df.join(keys, Seq(keyCol), "left_anti")
-          .select(cols: _*).unionByName(u), clusterBy), statsColumns)
+          .select(cols: _*).unionByName(u), clusterBy, clusterParts),
+        statsColumns)
   }
 
-  /** Hash-co-locate rows on the named columns before a write, so each
-    * written file covers a narrow range of them (tight manifest stats).
-    * No-op when no columns are named.
+  /** RANGE-co-locate rows on the named columns before a write, so written
+    * files carry DISJOINT column ranges (tight manifest stats — the same
+    * reason [[compact]]'s clustered rewrite ranges: hash partitioning
+    * collides distinct values into one partition, leaving a file's min/max
+    * spanning whatever collided). `parts > 0` pins the partition count —
+    * an explicit count keeps AQE from coalescing the small shuffle back
+    * into one mixed-range partition. No-op when no columns are named.
     */
   private def clustered(df: org.apache.spark.sql.DataFrame,
-      clusterBy: Seq[String]): org.apache.spark.sql.DataFrame =
+      clusterBy: Seq[String], parts: Int): org.apache.spark.sql.DataFrame = {
+    val cols = clusterBy.map(org.apache.spark.sql.functions.col)
     if (clusterBy.isEmpty) df
-    else df.repartition(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    else if (parts > 0) df.repartitionByRange(parts, cols: _*)
+    else df.repartitionByRange(cols: _*)
+  }
 
   /** Manifest paths of the files named by `fileNames` (a one-column
     * DataFrame of `input_file_name()` values). The reader reports URI form

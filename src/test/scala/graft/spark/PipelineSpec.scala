@@ -469,6 +469,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val filesAfter = log.currentFiles().toSet
     assert((filesBefore intersect filesAfter).nonEmpty,
       "untouched files must carry into the merged snapshot by path identity")
+    // merged files are bucket-RANGE-clustered: their recorded bucket ranges
+    // are pairwise disjoint, so the stats keep pruning (review: an
+    // unclustered merge spans the full domain and defeats C16 on exactly
+    // these files; hash clustering leaves collided values spanning too)
+    val newRanges = log.metaAt(1L)
+      .filterNot(m => filesBefore.contains(m.path))
+      .flatMap(_.stats.get("bucket"))
+    assert(newRanges.nonEmpty)
+    for (Seq((_, aHi), (bLo, _)) <- newRanges.sorted.sliding(2)
+         if newRanges.size > 1)
+      assert(aHi <= bLo,
+        s"merged files must carry disjoint bucket ranges: $newRanges")
     // re-running with no matching url is a no-op
     assert(ExtractJob.reextract(spark, fixed, dir,
       Seq("http://nowhere.example.com/x").toDF("url"), 4).isEmpty)
