@@ -14,14 +14,19 @@ import graft.spark.{Schemas, SnapshotLog, Synth}
   *     fresh extracts flow through, duplicates dropped at the dedup stage;
   *
   * asserting snapshot heads, row counts, and digest-uniqueness after each
-  * turn. SubmitMain stops its SparkSession per invocation (as a real
-  * process exit would), so every turn — and every check between turns —
-  * runs on a FRESH session: cross-process checkpoint/offset recovery is
-  * exactly what this exercises. Results recorded in BASELINE.md. This is
-  * the process-level twin of SnapshotStreamSpec's in-JVM composition test.
+  * turn. Each timed invocation constructs its OWN SparkSession (any active
+  * one is stopped first, and SubmitMain stops its session on exit), so
+  * cross-invocation state lives only in the checkpoint and the snapshot
+  * logs — cross-process offset recovery is exactly what this exercises.
+  * One JVM though: timings include session construction, not JVM startup.
+  * Results recorded in BASELINE.md. This is the process-level twin of
+  * SnapshotStreamSpec's in-JVM composition test.
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
+    // what `spark-submit --master local[8]` would set: SubmitMain's builder
+    // deliberately names no master of its own
+    System.setProperty("spark.master", "local[8]")
     def sess(): SparkSession = {
       val s = SparkSession.builder()
         .master("local[8]")
@@ -50,6 +55,10 @@ object StreamProbe {
       log.commitOptimistic(d): Unit
     }
     def run(): Long = {
+      // stop any active session first so the timed invocation builds its
+      // own, as the CLI would in its own process (still one JVM, so the
+      // timings exclude JVM startup but include SparkSession construction)
+      SparkSession.getActiveSession.foreach(_.stop())
       val t0 = System.nanoTime()
       SubmitMain.main(Array("stream", pagesDir, extDir, dedupDir, ck, "8"))
       (System.nanoTime() - t0) / 1000000L

@@ -128,20 +128,22 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       readSegments(segments)
   }
 
-  /** Resolve many segments with parallel driver IO (encounter order kept —
-    * `parallelStream().collect(toList)` is order-preserving). A long append
-    * lineage means thousands of small segment files; serial open+read turns
-    * scan planning into seconds of driver latency where the files are
-    * independent ([[compact]] is what bounds the segment count).
+  /** Parallel driver-IO map for independent small-file metadata reads
+    * (encounter order kept — `parallelStream().collect(toList)` is
+    * order-preserving). A long append lineage means thousands of small
+    * segment files; serial open+read turns scan planning into seconds of
+    * driver latency where the files are independent ([[compact]] is what
+    * bounds the segment count). One definition for every metadata sweep —
+    * the threshold and error behavior must not drift per call site.
     */
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.length < 4) xs.map(f)
+    else xs.asJava.parallelStream().map[B](a => f(a))
+      .collect(java.util.stream.Collectors.toList[B]).asScala.toSeq
+
+  /** Resolve many segments with parallel driver IO. */
   private def readSegments(segs: Seq[String]): Seq[SnapshotLog.FileMeta] =
-    if (segs.length < 4) segs.flatMap(readSegment)
-    else {
-      segs.asJava.parallelStream()
-        .map[Seq[SnapshotLog.FileMeta]](sg => readSegment(sg))
-        .collect(java.util.stream.Collectors.toList[Seq[SnapshotLog.FileMeta]])
-        .asScala.toSeq.flatten
-    }
+    parMap(segs)(readSegment).flatten
 
   /** One read of a snapshot's manifest list: (segment relpaths, legacy inline
     * file relpaths). Every consumer parses through here — the list is the
@@ -464,11 +466,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       : Seq[(String, Long, Map[String, (Long, Long)])] = {
     def one(st: FileStatus) =
       (io.relativize(st.getPath), st.getLen, footerStats(st, statsColumns))
-    if (statsColumns.isEmpty || staged.length < 4) staged.map(one)
-    else staged.asJava.parallelStream()
-      .map[(String, Long, Map[String, (Long, Long)])](st => one(st))
-      .collect(java.util.stream.Collectors.toList[(String, Long, Map[String, (Long, Long)])])
-      .asScala.toSeq
+    if (statsColumns.isEmpty) staged.map(one) else parMap(staged)(one)
   }
 
   /** Min/max of the named int/long columns from one parquet footer. Stats are
@@ -640,8 +638,23 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       sortBy: Seq[String] = Nil): Option[Long] = {
     require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
     val current = currentSnapshot().getOrElse(return None)
-    val meta = metaAt(current)
+    // ONE segment sweep yields both the file inventory and the schema-probe
+    // set (re-listing via metaAt + a second probe pass would double the
+    // O(segments) metadata reads — round-5 review pass 4)
+    val (segs0, inline0) = parseList(current)
+    val segEntries: Seq[(String, Seq[SnapshotLog.FileMeta])] =
+      parMap(segs0)(sg => sg -> readSegment(sg))
+    val meta =
+      inline0.map(f => SnapshotLog.FileMeta(io.extern(io.path(f)), None, Map.empty)) ++
+        segEntries.flatMap(_._2)
     if (meta.isEmpty) return None
+    // FIRST + LAST file per segment: a segment's files come from one commit
+    // = one writer schema, EXCEPT a legacy-inline migration commit, which
+    // folds pre-round-4 inline entries (head) ahead of its fresh files
+    // (tail) — probing both ends covers the one mixed shape
+    val probePaths = inline0.map(f => io.extern(io.path(f))) ++
+      segEntries.flatMap { case (_, ms) =>
+        (ms.headOption ++ ms.lastOption).map(_.path) }.distinct
     // a SORTED rewrite runs even at-or-under the file target: clustering is
     // its point, not file count
     if (sortBy.isEmpty && meta.size <= targetFiles) return None
@@ -669,7 +682,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     val tmp = new HPath(root,
       "data/.compact-" + java.util.UUID.randomUUID().toString)
     try {
-      requireSchemaCovers(schema, schemaProbePaths(current), "compaction")
+      requireSchemaCovers(schema, probePaths, "compaction")
       if (sortBy.nonEmpty) {
         // CLUSTERED rewrite (Iceberg's rewrite-with-sort-order, re-derived):
         // ONE range exchange moves the bytes once so output files carry
@@ -1066,12 +1079,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     // commit carry every unaffected segment without reading it
     val (segments, inline) = parseList(snapshotId)
     val segPairs: Seq[(String, String)] =
-      if (segments.length < 4)
-        segments.flatMap(sg => readSegment(sg).map(m => m.path -> sg))
-      else segments.asJava.parallelStream()
-        .map[Seq[(String, String)]](sg => readSegment(sg).map(m => m.path -> sg))
-        .collect(java.util.stream.Collectors.toList[Seq[(String, String)]])
-        .asScala.toSeq.flatten
+      parMap(segments)(sg => readSegment(sg).map(m => m.path -> sg)).flatten
     val byNorm = (segPairs ++ inline.map(f => (io.extern(io.path(f)), "")))
       .map { case (p, sg) => norm(p) -> ((p, sg)) }.toMap
     val hits = fileNames.distinct()
@@ -1128,10 +1136,11 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * reclaims history. Probes footers DIRECTLY from manifest paths (parallel
     * driver IO, no listing job — a mergeSchema read would re-list and
     * re-stat every file, the cost this metadata layer exists to avoid); the
-    * caller bounds the probe set ([[schemaProbePaths]]: one file per
+    * caller bounds the probe set (compaction: first + last file per
     * segment; a delete/upsert: its affected files). A footer that fails to
-    * read is skipped — the rewrite's own read fails loudly on a genuinely
-    * unreadable file.
+    * read fails the GUARD loudly — skipping it would vacuously pass on a
+    * transient driver-side IO error while the rewrite's executor-side read
+    * succeeds via task retries, silently dropping evolved columns.
     */
   private def requireSchemaCovers(
       schema: org.apache.spark.sql.types.StructType,
@@ -1146,36 +1155,16 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         try r.getFooter.getFileMetaData.getSchema.getFields.asScala
           .map(_.getName).toSeq
         finally r.close()
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
-    val inferred: Seq[String] =
-      if (probeFiles.length < 4) probeFiles.flatMap(fields)
-      else probeFiles.asJava.parallelStream()
-        .map[Seq[String]](p => fields(p))
-        .collect(java.util.stream.Collectors.toList[Seq[String]])
-        .asScala.toSeq.flatten
-    val missing = inferred.distinct.filterNot(declared)
+      } catch {
+        case scala.util.control.NonFatal(e) => throw new IllegalStateException(
+          s"schema probe could not read the footer of $p — cannot verify " +
+            s"$what would not drop evolved columns; retry, or repair the " +
+            "file if it is genuinely corrupt", e)
+      }
+    val missing = parMap(probeFiles)(fields).flatten.distinct.filterNot(declared)
     require(missing.isEmpty,
       s"$what would silently DROP columns present in the data files: " +
         s"${missing.mkString(", ")} — pass the table's current (widened) schema")
-  }
-
-  /** One representative file per manifest segment (+ every legacy inline
-    * entry) — a sufficient schema probe because a segment's files come from
-    * ONE commit = one writer schema (a rewritten `-rw` segment partitions
-    * one parent segment's lines, preserving that). The sole mixed case is a
-    * legacy-inline migration commit folding pre-round-4 inline entries into
-    * a fresh segment — those entries predate schema evolution entirely.
-    */
-  private def schemaProbePaths(snapshotId: Long): Seq[String] = {
-    val (segments, inline) = parseList(snapshotId)
-    val heads: Seq[String] =
-      if (segments.length < 4)
-        segments.flatMap(sg => readSegment(sg).headOption.map(_.path))
-      else segments.asJava.parallelStream()
-        .map[Option[String]](sg => readSegment(sg).headOption.map(_.path))
-        .collect(java.util.stream.Collectors.toList[Option[String]])
-        .asScala.toSeq.flatten
-    heads ++ inline.map(f => io.extern(io.path(f)))
   }
 
   /** Commit a snapshot whose content is `parent` minus `removed` files plus

@@ -479,7 +479,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(newRanges.nonEmpty)
     for (Seq((_, aHi), (bLo, _)) <- newRanges.sorted.sliding(2)
          if newRanges.size > 1)
-      assert(aHi <= bLo,
+      assert(aHi < bLo, // strict: a value spanning two files = overlap
         s"merged files must carry disjoint bucket ranges: $newRanges")
     // re-running with no matching url is a no-op
     assert(ExtractJob.reextract(spark, fixed, dir,

@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Model-based fuzz of the full snapshot-table lifecycle: a SEEDED random
   * sequence of operations (append commit, replace commit, compaction,
-  * expire, orphan sweep, staged-then-aborted write, crashed stage residue)
+  * expire, orphan sweep, staged-then-aborted write, crashed stage residue,
+  * copy-on-write delete, copy-on-write upsert)
   * runs against a real SnapshotLog while a driver-side model tracks the
   * expected row CONTENT of every retained snapshot. After every operation
   * the table scan must equal the model exactly, and retained history must
@@ -42,7 +43,7 @@ class SnapshotModelSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     var ops = 0
     for (step <- 1 to 40) {
-      val op = rnd.nextInt(12)
+      val op = rnd.nextInt(13)
       op match {
         case 0 | 1 | 2 | 3 => // append commit of 1-20 fresh rows; op 3 goes
           // through the optimistic path (unique staging dir, id allocated at
@@ -122,6 +123,27 @@ class SnapshotModelSpec extends AnyFunSuite with BeforeAndAfterAll {
               case _: IllegalStateException =>
                 // crashed-stage residue occupies the next id — same remedy
                 // as compact: abort the dead stage, retry next time around
+                log.abort(log.nextSnapshotId())
+            }
+          }
+        case 12 => // copy-on-write upsert: replace existing ids + insert fresh
+          // (C23). The model tracks ids, so the invariant this adds is that
+          // a matched id never DUPLICATES (scan == model catches a double
+          // landing) and inserts compose with every other op
+          if (current.nonEmpty) {
+            val matched = Seq.fill(1 + rnd.nextInt(5))(
+              current(rnd.nextInt(current.size))).distinct
+            val n = rnd.nextInt(5)
+            val fresh = (nextId until nextId + n)
+            nextId += n
+            try {
+              val id = log.upsertMatching(spark, schema,
+                rows(matched ++ fresh), "id")
+              current = (current ++ fresh).sorted
+              history += id -> current
+            } catch {
+              case _: IllegalStateException =>
+                // crashed-stage residue occupies the next id — same remedy
                 log.abort(log.nextSnapshotId())
             }
           }
