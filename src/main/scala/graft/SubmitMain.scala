@@ -40,6 +40,7 @@ object SubmitMain {
         |  expire  <tableDir> <keepLast>
         |  compact <tableDir> [targetFiles=128] [sortBy=col1,col2]
         |  orphans <tableDir> [minAgeHours=1]
+        |  describe <tableDir>
         |  lsh-index <embeddingsParquet> <indexDir>
         |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]
         |  repair-metrics <tableDir>
@@ -72,7 +73,8 @@ object SubmitMain {
   def main(args: Array[String]): Unit = {
     // compact's targetFiles is optional; tail needs 4 args; the rest 3
     val minArgs = args.headOption match {
-      case Some("compact") | Some("orphans") | Some("repair-metrics") => 2
+      case Some("compact") | Some("orphans") | Some("repair-metrics") |
+           Some("describe") => 2
       case Some("tail") | Some("pipeline") | Some("reextract") => 4
       case Some("stream") => 5
       case _ => 3
@@ -95,6 +97,34 @@ object SubmitMain {
         val hours = if (args.length > 2) args(2).toLong else 1L
         val n = new SnapshotLog(tableDir).removeOrphanFiles(hours * 3600000L)
         println(s"removed $n orphan data files from $tableDir")
+        return
+      case "describe" =>
+        // table inspection from metadata alone: snapshots, live files/bytes,
+        // recorded stats columns, idempotent-writer watermarks — everything
+        // an operator needs before expire/compact/stream decisions, with
+        // zero data reads and no SparkSession
+        val tableDir = args(1)
+        val log = new SnapshotLog(tableDir)
+        log.currentSnapshot() match {
+          case None => println(s"$tableDir: empty table (no committed snapshot)")
+          case Some(head) =>
+            val snaps = log.snapshots()
+            val meta = log.metaAt(head)
+            val statCols = meta.flatMap(_.stats.keys).distinct.sorted
+            println(s"table $tableDir")
+            println(s"  snapshots retained: ${snaps.size} " +
+              s"(${snaps.head}..${snaps.last}), head = $head")
+            println(s"  live files: ${meta.size}, " +
+              s"bytes: ${meta.flatMap(_.size).sum}" +
+              (if (meta.exists(_.size.isEmpty))
+                s" (+${meta.count(_.size.isEmpty)} legacy size-less files)" else ""))
+            println(s"  stats columns: " +
+              (if (statCols.isEmpty) "none" else statCols.mkString(", ")))
+            val txns = log.txnWatermarks()
+            if (txns.nonEmpty)
+              println("  txn watermarks:" + txns.toSeq.sortBy(_._1)
+                .map { case (a, v) => s"\n    $a = $v" }.mkString)
+        }
         return
       case _ => ()
     }

@@ -191,6 +191,13 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
   def txnVersion(appId: String): Option[Long] =
     currentSnapshot().flatMap(id => parseTxns(id).get(appId))
 
+  /** Every idempotent writer's recorded watermark at the current snapshot —
+    * the operator's view of which replayable pipelines have written here and
+    * how far (`SubmitMain describe`).
+    */
+  def txnWatermarks(): Map[String, Long] =
+    currentSnapshot().map(parseTxns).getOrElse(Map.empty)
+
   /** Data files listed by one immutable segment: path, recorded size (absent
     * or negative = legacy/unknown), optional per-column min/max stats fields
     * (`col=min..max`).

@@ -526,6 +526,7 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.compact(spark, rows.schema, targetFiles = 2).isDefined)
     assert(log.txnVersion("appA").contains(1L))
     assert(log.txnVersion("appB").contains(0L))
+    assert(log.txnWatermarks() == Map("appA" -> 1L, "appB" -> 0L))
     // a second replayer (fresh SnapshotLog instance = fresh cache) still
     // observes the winner's txn line and skips
     val log2 = new SnapshotLog(dir)
