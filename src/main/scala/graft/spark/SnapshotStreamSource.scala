@@ -44,17 +44,40 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
 
   override def shortName(): String = "graft-snapshots"
 
-  private def normalized(schema: Option[StructType]): StructType = {
-    val s = schema.getOrElse(throw new IllegalArgumentException(
-      "graft-snapshots needs an explicit .schema(...): the snapshot log " +
-        "stores file inventories, not schemas"))
+  private def normalized(s: StructType): StructType =
     // one nullability surface with every other manifest-planned scan
     StructType(s.fields.map(_.copy(nullable = true)))
-  }
+
+  /** The caller's schema, or — absent one — the schema of the table's most
+    * recently committed file (the newest segment's last entry: the widest
+    * schema under additive evolution, C22). One footer read; an empty table
+    * with no explicit schema fails loudly (nothing to infer from).
+    * `createSource` PINS whichever schema this resolves under the stream's
+    * metadataPath, so restarts keep planning with the stream's original
+    * schema even as the table evolves underneath (an evolved column shows
+    * up after an explicit stream restart with a fresh checkpoint — Delta's
+    * position).
+    */
+  private def resolveSchema(sqlContext: SQLContext,
+      schema: Option[StructType], path: String): StructType =
+    normalized(schema.getOrElse {
+      val log = new SnapshotLog(path)
+      val newest = log.currentSnapshot()
+        .flatMap(id => log.metaAt(id).lastOption)
+        .getOrElse(throw new IllegalArgumentException(
+          "graft-snapshots cannot infer a schema from an empty table — " +
+            "pass an explicit .schema(...)"))
+      sqlContext.sparkSession.read.parquet(newest.path).schema
+    })
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): (String, StructType) =
-    (shortName(), normalized(schema))
+      providerName: String, parameters: Map[String, String]): (String, StructType) = {
+    def opt(name: String): Option[String] =
+      parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+    (shortName(), resolveSchema(sqlContext, schema,
+      opt("path").getOrElse(throw new IllegalArgumentException(
+        "graft-snapshots needs a table path: .load(<tableDir>)"))))
+  }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -65,6 +88,13 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     val path = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft-snapshots needs a table path: .load(<tableDir>)"))
     val log = new SnapshotLog(path)
+    // pin the plan schema to the checkpoint, like the starting offset: a
+    // restart that re-inferred from an evolved table would change the plan
+    // under checkpointed state
+    val pinnedSchema = marker(sqlContext, metadataPath, "schema.json",
+      resolveSchema(sqlContext, schema, path).json)
+    val streamSchema = org.apache.spark.sql.types.DataType.fromJson(pinnedSchema)
+      .asInstanceOf[StructType]
     val startingAfter = resolveStart(sqlContext, metadataPath, log,
       opt("startingSnapshot"))
     val maxPerTrigger = opt("maxSnapshotsPerTrigger").map { s =>
@@ -75,8 +105,44 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
       require(n >= 1, s"maxSnapshotsPerTrigger must be >= 1, got $n")
       n
     }
-    new SnapshotStreamSource(sqlContext, path, log, normalized(schema),
+    new SnapshotStreamSource(sqlContext, path, log, streamSchema,
       startingAfter, maxPerTrigger)
+  }
+
+  /** Read-or-persist a small value under the stream's `metadataPath`: the
+    * persisted value wins (it is a constant of the checkpoint, like every
+    * offset); `fresh` is only evaluated into place on first creation. The
+    * write is tmp + rename so a crash mid-write never leaves a torn marker
+    * (a truncated value would silently change the stream's plan or start).
+    */
+  private def marker(sqlContext: SQLContext, metadataPath: String,
+      name: String, fresh: => String): String = {
+    val conf = sqlContext.sparkSession.sessionState.newHadoopConf()
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fs = dir.getFileSystem(conf)
+    val file = new org.apache.hadoop.fs.Path(dir, name)
+    def read(): String = {
+      val in = fs.open(file)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+      finally in.close()
+    }
+    if (fs.exists(file)) read()
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      fs.mkdirs(dir)
+      val out = fs.create(tmp, false)
+      try out.write(fresh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.rename(tmp, file)) read()
+      else {
+        fs.delete(tmp, false)
+        // lost to a concurrent creator of the same checkpoint: theirs wins
+        if (!fs.exists(file)) throw new java.io.IOException(
+          s"could not persist stream marker at $file")
+        read()
+      }
+    }
   }
 
   /** Resolve the stream's starting point ONCE per checkpoint and persist it
@@ -91,43 +157,15 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     */
   private def resolveStart(sqlContext: SQLContext, metadataPath: String,
       log: SnapshotLog, option: Option[String]): Option[Long] = {
-    val conf = sqlContext.sparkSession.sessionState.newHadoopConf()
-    val dir = new org.apache.hadoop.fs.Path(metadataPath)
-    val fs = dir.getFileSystem(conf)
-    val marker = new org.apache.hadoop.fs.Path(dir, "starting-snapshot")
-    if (fs.exists(marker)) {
-      val s = {
-        val in = fs.open(marker)
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      }
-      if (s == "none") None else Some(s.toLong)
-    } else {
-      val resolved = option.map(_.trim).map {
+    val v = marker(sqlContext, metadataPath, "starting-snapshot",
+      option.map(_.trim).map {
         case "latest" => log.currentSnapshot().getOrElse(-1L)
         case n =>
           try n.toLong
           catch { case _: NumberFormatException => throw new IllegalArgumentException(
             s"startingSnapshot must be a snapshot id or 'latest', got '$n'") }
-      }
-      // tmp + rename: a crash mid-write must leave no torn marker (a
-      // truncated id would silently shift the stream's start)
-      val tmp = new org.apache.hadoop.fs.Path(dir,
-        s".starting-snapshot.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-      fs.mkdirs(dir)
-      val out = fs.create(tmp, false)
-      try out.write(resolved.map(_.toString).getOrElse("none")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(tmp, marker)) {
-        fs.delete(tmp, false)
-        // lost to a concurrent creator of the same checkpoint: theirs wins
-        if (!fs.exists(marker)) throw new java.io.IOException(
-          s"could not persist streaming start marker at $marker")
-        return resolveStart(sqlContext, metadataPath, log, option)
-      }
-      resolved
-    }
+      }.map(_.toString).getOrElse("none"))
+    if (v == "none") None else Some(v.toLong)
   }
 }
 

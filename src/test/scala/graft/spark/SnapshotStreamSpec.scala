@@ -232,6 +232,28 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dstLog.txnVersion(s"streaming-extract:$ckpt").isDefined)
   }
 
+  test("schema inference: load() without .schema uses the newest commit's schema") {
+    val dir = tmpDir("stream_infer")
+    val log = new SnapshotLog(dir)
+    append(log, 0 until 6)
+    val q = spark.readStream.format("graft-snapshots").load(dir)
+      .writeStream.format("memory").queryName("infer1")
+      .option("checkpointLocation", tmpDir("stream_infer_ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("infer1").schema.fieldNames.toSeq == Seq("id", "v"))
+      assert(tableIds("infer1") == (0L until 6L))
+    } finally q.stop()
+    // an empty table has nothing to infer from: loud, at load time
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-snapshots").load(tmpDir("stream_infer_empty"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("empty table"))), e.getMessage)
+  }
+
   test("micro-batches plan from the manifest: ManifestFileIndex in the scan") {
     val dir = tmpDir("stream_plan")
     val log = new SnapshotLog(dir)
