@@ -52,11 +52,16 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     * recently committed file (the newest segment's last entry: the widest
     * schema under additive evolution, C22). One footer read; an empty table
     * with no explicit schema fails loudly (nothing to infer from).
-    * `createSource` PINS whichever schema this resolves under the stream's
-    * metadataPath, so restarts keep planning with the stream's original
-    * schema even as the table evolves underneath (an evolved column shows
-    * up after an explicit stream restart with a fresh checkpoint — Delta's
-    * position).
+    *
+    * Resolved identically at `load()` (sourceSchema) and at query start
+    * (createSource) and deliberately NOT pinned to the checkpoint: the V1
+    * `sourceSchema` API cannot see the metadata path, so a pinned schema
+    * would diverge from the analyzer's relation the moment the table
+    * evolves — MicroBatchExecution asserts plan/batch attribute parity and
+    * the checkpoint would become unrestartable. Instead a RESTART follows
+    * the table's current schema: explicit `.schema` always wins verbatim,
+    * and an inferred schema widens with additive evolution (pre-evolution
+    * files null-fill, exactly like the batch scan).
     */
   private def resolveSchema(sqlContext: SQLContext,
       schema: Option[StructType], path: String): StructType =
@@ -88,13 +93,7 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     val path = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft-snapshots needs a table path: .load(<tableDir>)"))
     val log = new SnapshotLog(path)
-    // pin the plan schema to the checkpoint, like the starting offset: a
-    // restart that re-inferred from an evolved table would change the plan
-    // under checkpointed state
-    val pinnedSchema = marker(sqlContext, metadataPath, "schema.json",
-      resolveSchema(sqlContext, schema, path).json)
-    val streamSchema = org.apache.spark.sql.types.DataType.fromJson(pinnedSchema)
-      .asInstanceOf[StructType]
+    val streamSchema = resolveSchema(sqlContext, schema, path)
     val startingAfter = resolveStart(sqlContext, metadataPath, log,
       opt("startingSnapshot"))
     val maxPerTrigger = opt("maxSnapshotsPerTrigger").map { s =>
@@ -128,11 +127,14 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     }
     if (fs.exists(file)) read()
     else {
+      // force the value BEFORE creating the tmp file: a failing `fresh`
+      // (bad option value) must not leave .tmp residue in the checkpoint
+      val value = fresh
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
       fs.mkdirs(dir)
       val out = fs.create(tmp, false)
-      try out.write(fresh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (fs.rename(tmp, file)) read()
       else {

@@ -234,16 +234,44 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("schema inference: load() without .schema uses the newest commit's schema") {
     val dir = tmpDir("stream_infer")
+    val ckpt = tmpDir("stream_infer_ck")
     val log = new SnapshotLog(dir)
     append(log, 0 until 6)
-    val q = spark.readStream.format("graft-snapshots").load(dir)
-      .writeStream.format("memory").queryName("infer1")
-      .option("checkpointLocation", tmpDir("stream_infer_ck")).start()
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[String])]()
+    def sink(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val names = df.schema.fieldNames.toSeq
+      df.select("id").collect().foreach(r => seen.add(r.getLong(0) -> names)): Unit
+    }
+    def start() = spark.readStream.format("graft-snapshots").load(dir)
+      .writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
     try {
       q.processAllAvailable()
-      assert(spark.table("infer1").schema.fieldNames.toSeq == Seq("id", "v"))
-      assert(tableIds("infer1") == (0L until 6L))
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.map(_._1).toSeq.sorted == (0L until 6L))
+      assert(seen.asScala.forall(_._2 == Seq("id", "v")))
     } finally q.stop()
+
+    // restart AFTER additive evolution: the inferred schema widens, the old
+    // checkpoint keeps working, only the new append arrives — under the
+    // widened schema
+    val sp = spark; import sp.implicits._
+    val d = log.stageUniqueDataDir()
+    spark.range(6, 9).select(col("id"), (col("id") % 5).as("v"),
+      (col("id") * 2).as("extra"))
+      .repartition(1).write.mode("overwrite").parquet(d)
+    log.commitOptimistic(d): Unit
+    seen.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.map(_._1).toSeq.sorted == Seq(6L, 7L, 8L))
+      assert(seen.asScala.forall(_._2 == Seq("id", "v", "extra")),
+        s"restart must follow the evolved schema: ${seen.asScala.headOption}")
+    } finally q2.stop()
+
     // an empty table has nothing to infer from: loud, at load time
     val e = intercept[Exception] {
       spark.readStream.format("graft-snapshots").load(tmpDir("stream_infer_empty"))
