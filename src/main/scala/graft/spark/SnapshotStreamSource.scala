@@ -61,12 +61,22 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     * the checkpoint would become unrestartable. Instead a RESTART follows
     * the table's current schema: explicit `.schema` always wins verbatim,
     * and an inferred schema widens with additive evolution (pre-evolution
-    * files null-fill, exactly like the batch scan).
+    * files null-fill, like the batch scan).
+    *
+    * SCOPE of the inference convenience — production streams over EVOLVING
+    * tables should pass an explicit schema, because per-start inference is
+    * only as stable as the newest commit: (a) it follows that commit even
+    * if a lagging writer appends a NARROWER batch (the restart would drop
+    * the evolved column from the delivered frame); (b) a restart must
+    * re-invoke `load()` (a retained pre-evolution DataFrame's analyzed
+    * relation no longer matches the re-inferred source); (c) stateful
+    * operators keyed on the full row (dropDuplicates()) pin their state
+    * schema at first start, and a widened restart fails Spark's state
+    * schema check — widening flows freely only through stateless plans.
     */
   private def resolveSchema(sqlContext: SQLContext,
-      schema: Option[StructType], path: String): StructType =
+      schema: Option[StructType], log: => SnapshotLog): StructType =
     normalized(schema.getOrElse {
-      val log = new SnapshotLog(path)
       val newest = log.currentSnapshot()
         .flatMap(id => log.metaAt(id).lastOption)
         .getOrElse(throw new IllegalArgumentException(
@@ -79,9 +89,9 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     def opt(name: String): Option[String] =
       parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-    (shortName(), resolveSchema(sqlContext, schema,
-      opt("path").getOrElse(throw new IllegalArgumentException(
-        "graft-snapshots needs a table path: .load(<tableDir>)"))))
+    val path = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft-snapshots needs a table path: .load(<tableDir>)"))
+    (shortName(), resolveSchema(sqlContext, schema, new SnapshotLog(path)))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -93,7 +103,7 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     val path = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft-snapshots needs a table path: .load(<tableDir>)"))
     val log = new SnapshotLog(path)
-    val streamSchema = resolveSchema(sqlContext, schema, path)
+    val streamSchema = resolveSchema(sqlContext, schema, log)
     val startingAfter = resolveStart(sqlContext, metadataPath, log,
       opt("startingSnapshot"))
     val maxPerTrigger = opt("maxSnapshotsPerTrigger").map { s =>
@@ -112,7 +122,7 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
     * persisted value wins (it is a constant of the checkpoint, like every
     * offset); `fresh` is only evaluated into place on first creation. The
     * write is tmp + rename so a crash mid-write never leaves a torn marker
-    * (a truncated value would silently change the stream's plan or start).
+    * (a truncated value would silently shift the stream's start).
     */
   private def marker(sqlContext: SQLContext, metadataPath: String,
       name: String, fresh: => String): String = {
