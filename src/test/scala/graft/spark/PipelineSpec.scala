@@ -1340,6 +1340,81 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Pipelines.readWatermark(dd).contains(1L))
   }
 
+  /** (corpus scan present?, count of shuffle exchanges whose subtree holds a
+    * manifest-fed scan) — the static physical plan: broadcast HINTS bind the
+    * join strategy before AQE, so the no-corpus-exchange claim is checkable
+    * without running the query.
+    */
+  private def corpusScanShape(df: org.apache.spark.sql.DataFrame): (Boolean, Int) = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val phys: SparkPlan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    def corpusScans(p: SparkPlan) = p.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.isInstanceOf[ManifestFileIndex] => f
+    }
+    val shuffled = phys.collect {
+      case s: ShuffleExchangeExec if corpusScans(s).nonEmpty => s
+    }
+    (corpusScans(phys).nonEmpty, shuffled.size)
+  }
+
+  test("inverted dedup probe: the corpus side never shuffles; fp64 stats prune files") {
+    val sp = spark; import sp.implicits._
+    val dd = tmpDir("probe_dd")
+    def extractedDF(lo: Int, hi: Int) =
+      spark.createDataset((lo until hi).map(i => Schemas.Extracted(
+        s"https://probe/$i", i % 8, "html",
+        Seq(s"probe text body $i"), s"probe text body $i", 10L + i, i.toLong))).toDF()
+    assert(Pipelines.appendDeduped(spark, extractedDF(0, 400), dd)._2 == 400L)
+    assert(Pipelines.appendDeduped(spark, extractedDF(400, 800), dd)._2 == 400L)
+    val dlog = new SnapshotLog(dd)
+    val meta = dlog.metaAt(dlog.currentSnapshot().get)
+    assert(meta.nonEmpty && meta.forall(_.stats.contains("fp64")),
+      "every deduped file must carry fp64 bounds")
+    // fresh batch: 10 already-committed texts + 10 new ones
+    val batch = extractedDF(790, 810)
+    val (survivors, reps) =
+      Pipelines.dedupSurvivors(spark, batch, dlog, dlog.currentSnapshot())
+    try {
+      // plan shape FIRST (static): corpus scanned, but inside no shuffle
+      val (scanned, shuffles) = corpusScanShape(survivors)
+      assert(scanned, "the probe must plan a manifest-fed corpus scan")
+      assert(shuffles == 0,
+        "round-6 contract: the accumulated corpus digest column must never " +
+          "ride a shuffle exchange — the batch broadcasts instead")
+      val urls = survivors.collect().map(_.getString(0)).sorted.toSeq
+      assert(urls == (800 until 810).map(i => s"https://probe/$i"),
+        s"only the 10 fresh texts survive, got $urls")
+      // the big-batch branch (probe filter disabled) agrees and also plans
+      // zero corpus-side shuffles (broadcast semi-probe)
+      val (s2, r2) = Pipelines.dedupSurvivors(
+        spark, batch, dlog, dlog.currentSnapshot(), probeFilterLimit = 0)
+      try {
+        val (scanned2, shuffles2) = corpusScanShape(s2)
+        assert(scanned2 && shuffles2 == 0)
+        assert(s2.collect().map(_.getString(0)).sorted.toSeq == urls)
+      } finally r2.unpersist()
+    } finally reps.unpersist()
+    // file skipping: a small batch's fp64 membership plans a strict subset
+    // of the range-clustered files (C16 applied to the dedup probe)
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
+    def fp64(t: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val idx = new ManifestFileIndex(dd,
+      meta.map(m => ManifestEntry(m.path, m.size.get, m.stats)))
+    val probe = In(
+      AttributeReference("fp64", org.apache.spark.sql.types.LongType)(),
+      Seq(Literal(fp64("probe text body 0")), Literal(fp64("probe text body 399"))))
+    val kept = idx.listFiles(Nil, Seq(probe)).map(_.files.size).sum
+    assert(kept >= 1 && kept < meta.size,
+      s"2 digests must plan a strict subset of the ${meta.size} clustered files, got $kept")
+  }
+
   test("compact racing a concurrent optimistic appender never drops committed rows") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("compact_race")

@@ -228,8 +228,15 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       val exp = oracle(url)
       assert(kind == exp.kind && text == exp.text, url)
     }
-    // the destination manifest carries the stream's idempotence watermark
-    assert(dstLog.txnVersion(s"streaming-extract:$ckpt").isDefined)
+    // the destination manifest carries the stream's idempotence watermark,
+    // under the GENERATED appId persisted in the checkpoint (round 6: the
+    // path-string-derived id broke exactly-once across path respellings)
+    val app = StreamingExtract.resolveAppId(ckpt, "streaming-extract")
+    assert(app.startsWith("streaming-extract:") && dstLog.txnVersion(app).isDefined)
+    // every spelling of the same checkpoint dir resolves the SAME identity
+    assert(StreamingExtract.resolveAppId(ckpt + "/", "streaming-extract") == app)
+    assert(StreamingExtract.resolveAppId(
+      ckpt.replaceFirst("/([^/]+)$", "//$1"), "streaming-extract") == app)
   }
 
   test("schema inference: load() without .schema uses the newest commit's schema") {
