@@ -91,7 +91,11 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
       parameters.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
     val path = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft-snapshots needs a table path: .load(<tableDir>)"))
-    (shortName(), resolveSchema(sqlContext, schema, new SnapshotLog(path)))
+    val log = new SnapshotLog(path)
+    val resolved = resolveSchema(sqlContext, schema, log)
+    if (schema.isEmpty)
+      SnapshotStreamProvider.lastInferred.put(log.tableRoot, resolved): Unit
+    (shortName(), resolved)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -104,6 +108,15 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
       "graft-snapshots needs a table path: .load(<tableDir>)"))
     val log = new SnapshotLog(path)
     val streamSchema = resolveSchema(sqlContext, schema, log)
+    // inference window guard: the analyzed plan pinned the schema resolved
+    // at load(); a commit changing the newest file's schema between load()
+    // and start would otherwise fail later as an opaque attribute-mismatch
+    for (atLoad <- Option(SnapshotStreamProvider.lastInferred.get(log.tableRoot))
+         if schema.isEmpty && atLoad != streamSchema)
+      throw new IllegalStateException(
+        s"the table at $path changed schema between load() and query start " +
+          s"(inferred $atLoad at load(), $streamSchema now) — re-invoke " +
+          "load() to pick up the new schema, or pass an explicit .schema(...)")
     val startingAfter = resolveStart(sqlContext, metadataPath, log,
       opt("startingSnapshot"))
     val maxPerTrigger = opt("maxSnapshotsPerTrigger").map { s =>
@@ -179,6 +192,25 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
       }.map(_.toString).getOrElse("none"))
     if (v == "none") None else Some(v.toLong)
   }
+}
+
+object SnapshotStreamProvider {
+  /** Schema that `load()`-time inference last resolved, per qualified table
+    * root — what the ANALYZED PLAN of the most recent schema-less
+    * `readStream.load(table)` carries. `createSource` (query start) compares
+    * its own re-inference against this and fails with an ACTIONABLE message
+    * when a commit changed the newest file's schema inside the
+    * load()→start window; without the guard the divergence surfaces as an
+    * opaque attribute-mismatch assertion deep in MicroBatchExecution
+    * (round-5 ADVICE). A process-global map, NOT a provider field: Spark
+    * instantiates a fresh provider for each of the two calls. Best-effort by
+    * design — concurrent schema-less loads of the SAME table can overwrite
+    * each other's entry, in which case the stale stream still fails (as
+    * before) on Spark's own assertion; entries are table-root-sized and the
+    * set of distinct streamed tables per driver is small, so no eviction.
+    */
+  private[spark] val lastInferred =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 }
 
 /** The live source: offsets are snapshot ids; `getBatch(a, b)` is the append

@@ -289,6 +289,30 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       Option(c.getMessage).exists(_.contains("empty table"))), e.getMessage)
   }
 
+  test("a schema change between load() and query start fails loudly, not as attribute mismatch") {
+    val dir = tmpDir("stream_infer_div")
+    val ckpt = tmpDir("stream_infer_div_ck")
+    val log = new SnapshotLog(dir)
+    append(log, 0 until 4)
+    // load() infers (id, v) into the analyzed plan ...
+    val loaded = spark.readStream.format("graft-snapshots").load(dir)
+    // ... then the newest commit's schema changes BEFORE the query starts
+    val d = log.stageUniqueDataDir()
+    spark.range(4, 6).select(col("id"), (col("id") % 5).as("v"),
+      (col("id") * 2).as("extra"))
+      .repartition(1).write.mode("overwrite").parquet(d)
+    log.commitOptimistic(d): Unit
+    val q = loaded.writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => { df.count(): Unit })
+      .option("checkpointLocation", ckpt).start()
+    val e = intercept[Exception] { q.processAllAvailable(); q.awaitTermination() }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("changed schema between load() and query start"))),
+      s"want the guard's actionable message, got: ${e.getMessage}")
+  }
+
   test("micro-batches plan from the manifest: ManifestFileIndex in the scan") {
     val dir = tmpDir("stream_plan")
     val log = new SnapshotLog(dir)
