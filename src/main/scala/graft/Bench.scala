@@ -26,6 +26,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // micros, not legacy INT96: timestamp columns then carry usable
+      // footer stats for manifest-level file skipping (Iceberg mandates
+      // micros for the same reason); INT96 degrades to "no stats"
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -132,6 +132,10 @@ object SubmitMain {
       .appName(s"graft-${args(0)}")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // micros, not legacy INT96: timestamp columns then carry usable
+      // footer stats for manifest-level file skipping (Iceberg mandates
+      // micros for the same reason); INT96 degrades to "no stats"
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -234,6 +234,14 @@ object ExtractJob {
       val files: Option[Seq[String]] =
         if (parent < 0) Some(log.filesAt(id)) // first commit: content = lineage
         else if (log.isAppendOf(id, parent)) Some(log.filesAddedBetween(parent, id))
+        else if (log.isRewriteOf(id, parent) || log.hasRewriteSegments(id)) None
+        // row-level rewrite (delete / upsert / compact): its fresh files are
+        // SURVIVORS of parent rows re-filed (plus, for an upsert, merged
+        // rows not separable from them at file granularity) — every one of
+        // those rows already has lineage under an ancestor, so backfilling
+        // the path diff would double-count them (round-5 ADVICE). Upsert's
+        // live path records its own lineage at run time; a crashed one stays
+        // unattributed rather than inflated.
         else if (log.snapshots().contains(parent)) {
           // parent manifest still present but the child is not a pure segment
           // append: either a replace (fresh paths, difference = full content)
@@ -246,7 +254,9 @@ object ExtractJob {
         } else if (log.isSelfContained(id))
           // parent expired: only a true replace (references nothing but its
           // own segment AND staged every file itself) is still decidable —
-          // its full content IS its lineage
+          // its full content IS its lineage. A compact is the same shape but
+          // carries the `cp` tag, caught above; pre-round-6 compacts are
+          // untagged and stay ambiguous (documented limitation).
           Some(log.filesAt(id))
         else None
         // append snapshot with an EXPIRED parent: its own rows are no longer

@@ -217,9 +217,24 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         val size = if (parts.length >= 3) parts(2).toLong else -1L
         val stats = parts.drop(3).flatMap { f =>
           f.split('=') match {
+            // string bounds: `col=s:<hexmin>..<hexmax|*>` (`*` = no finite
+            // upper bound — all-0xFF truncated prefix); hex never contains
+            // '.' so the `..` split is unambiguous, and `-1` keeps the empty
+            // min of an empty-string lower bound
+            case Array(c, v) if v.startsWith("s:") =>
+              v.stripPrefix("s:").split("\\.\\.", -1) match {
+                case Array(mn, mx) if mn.length % 2 == 0 &&
+                    mn.forall(h => h.isDigit || (h >= 'a' && h <= 'f')) =>
+                  if (mx == "*") Some(c -> StrBounds(mn, None))
+                  else if (mx.length % 2 == 0 && mx.nonEmpty &&
+                      mx.forall(h => h.isDigit || (h >= 'a' && h <= 'f')))
+                    Some(c -> StrBounds(mn, Some(mx)))
+                  else None
+                case _ => None
+              }
             case Array(c, range) => range.split("\\.\\.") match {
               case Array(mn, mx) =>
-                try Some(c -> (mn.toLong, mx.toLong))
+                try Some(c -> LongBounds(mn.toLong, mx.toLong))
                 catch { case _: NumberFormatException => None }
               case _ => None
             }
@@ -227,7 +242,8 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
           }
         }.toMap
         SnapshotLog.FileMeta(io.extern(io.path(parts(1))),
-          if (size >= 0) Some(size) else None, stats)
+          if (size >= 0) Some(size) else None,
+          stats: Map[String, ColBounds])
     }
   }
 
@@ -295,6 +311,16 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
   def commitReplace(snapshotId: Long, statsColumns: Seq[String] = Nil): Long =
     commitImpl(snapshotId, keepParent = false, statsColumns)
 
+  /** [[commitReplace]] for CONTENT-PRESERVING rewrites ([[compact]]): the
+    * commit is identical except its segment carries the `cp` tag, so lineage
+    * attribution ([[ExtractJob.backfillMetrics]]) can tell "same rows, new
+    * files" apart from a genuine replace whose full content IS new lineage —
+    * structurally indistinguishable otherwise (both list only own staged
+    * files). Tags never collide with optimistic-commit tokens: those are hex.
+    */
+  private def commitCompact(snapshotId: Long, statsColumns: Seq[String]): Long =
+    commitImpl(snapshotId, keepParent = false, statsColumns, segTag = "cp")
+
   /** True iff `rel` is the segment a given snapshot wrote itself (strict
     * commits name it `seg-<id>.txt`; optimistic ones `seg-<id>-<token>.txt`).
     */
@@ -312,7 +338,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * segment once, on the first append over them.
     */
   private def commitImpl(snapshotId: Long, keepParent: Boolean,
-      statsColumns: Seq[String]): Long = {
+      statsColumns: Seq[String], segTag: String = ""): Long = {
     // under the manifest-CAS protocol an existing FINAL manifest IS a
     // committed snapshot. The one legitimate way to arrive here is our own
     // retry after a crash BETWEEN the CAS and the hint write: the table head
@@ -345,7 +371,9 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       else (Seq.empty[String], Seq.empty[String], Map.empty[String, Long])
     val (parentSegments, parentInline) =
       if (keepParent) (pSegs, pInline) else (Seq.empty[String], Seq.empty[String])
-    val segments = writeSegment(s"seg-$snapshotId.txt", snapshotId,
+    val segName =
+      if (segTag.isEmpty) s"seg-$snapshotId.txt" else s"seg-$snapshotId-$segTag.txt"
+    val segments = writeSegment(segName, snapshotId,
       parentSegments, parentInline, stagedStatuses(dataDirPath(snapshotId)),
       statsColumns)
     // txn watermarks survive even a replace commit: they track a WRITER's
@@ -455,7 +483,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     val fresh = collectEntries(staged, statsColumns)
     val inlineSized = parentInline.map { f =>
       val sz = try io.len(io.path(f)) catch { case _: java.io.IOException => -1L }
-      (f, sz, Map.empty[String, (Long, Long)])
+      (f, sz, Map.empty[String, ColBounds])
     }
     val segmentFiles = inlineSized ++ fresh
     if (segmentFiles.isEmpty) parentSegments
@@ -463,7 +491,10 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       val seg = segmentPath(segName)
       io.writeAtomic(seg, segmentFiles.map { case (f, sz, stats) =>
         s"file\t$f\t$sz" + stats.toSeq.sortBy(_._1)
-          .map { case (c, (mn, mx)) => s"\t$c=$mn..$mx" }.mkString
+          .map {
+            case (c, LongBounds(mn, mx)) => s"\t$c=$mn..$mx"
+            case (c, StrBounds(mn, mx)) => s"\t$c=s:$mn..${mx.getOrElse("*")}"
+          }.mkString
       }.mkString("", "\n", "\n"))
       parentSegments :+ io.relativize(seg)
     }
@@ -476,19 +507,24 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * driver-side equivalent.
     */
   private def collectEntries(staged: Seq[FileStatus], statsColumns: Seq[String])
-      : Seq[(String, Long, Map[String, (Long, Long)])] = {
+      : Seq[(String, Long, Map[String, ColBounds])] = {
     def one(st: FileStatus) =
       (io.relativize(st.getPath), st.getLen, footerStats(st, statsColumns))
     if (statsColumns.isEmpty) staged.map(one) else parMap(staged)(one)
   }
 
-  /** Min/max of the named int/long columns from one parquet footer. Stats are
-    * an OPTIMIZATION: any failure (not parquet, empty file, unknown physical
-    * type, all-null column) degrades to "no stats" (= never pruned), never to
-    * an error — pruning correctness rests on recorded stats being true
-    * bounds, not on stats existing.
+  /** Min/max of the named columns from one parquet footer — int/long columns
+    * as plain longs, timestamps normalized to MICROS (parquet MILLIS scaled
+    * here, so the recorded unit always matches Catalyst's timestamp-literal
+    * form; INT96 and NANOS are skipped), dates as days, strings as truncated
+    * byte-wise bounds ([[ColBounds]]). Stats are an OPTIMIZATION: any
+    * failure (not parquet, empty file, unknown physical type, all-null
+    * column, decimal-annotated ints whose raw longs would compare wrongly)
+    * degrades to "no stats" (= never pruned), never to an error — pruning
+    * correctness rests on recorded stats being true bounds, not on stats
+    * existing.
     */
-  private def footerStats(st: FileStatus, cols: Seq[String]): Map[String, (Long, Long)] =
+  private def footerStats(st: FileStatus, cols: Seq[String]): Map[String, ColBounds] =
     if (cols.isEmpty) Map.empty
     else try {
       // the CALLER's conf, never io.conf: fromStatus resolves its FileSystem
@@ -501,22 +537,26 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq
         cols.flatMap { c =>
-          val perBlock = blocks.map(_.getColumns.asScala
-            .find(_.getPath.toDotString == c).map(_.getStatistics))
-          def asLong(v: Any): Option[Long] = v match {
-            case n: java.lang.Integer => Some(n.longValue)
-            case n: java.lang.Long => Some(n.longValue)
-            case _ => None
-          }
-          val bounds: Seq[Option[(Long, Long)]] = perBlock.map {
-            case Some(s) if s != null && s.hasNonNullValue =>
-              for (mn <- asLong(s.genericGetMin(): Any);
-                   mx <- asLong(s.genericGetMax(): Any))
-                yield (mn, mx)
-            case _ => None
-          }
-          if (blocks.isEmpty || bounds.exists(_.isEmpty)) None
-          else Some(c -> (bounds.map(_.get._1).min, bounds.map(_.get._2).max))
+          val perBlock: Seq[Option[ColBounds]] = blocks.map(
+            _.getColumns.asScala.find(_.getPath.toDotString == c) match {
+              case Some(cc) if cc.getStatistics != null &&
+                  cc.getStatistics.hasNonNullValue =>
+                SnapshotLog.statBounds(cc.getPrimitiveType, cc.getStatistics)
+              case _ => None
+            })
+          if (blocks.isEmpty || perBlock.exists(_.isEmpty)) None
+          else perBlock.flatten.reduceLeftOption[ColBounds] {
+            case (LongBounds(a1, a2), LongBounds(b1, b2)) =>
+              LongBounds(math.min(a1, b1), math.max(a2, b2))
+            case (StrBounds(a1, a2), StrBounds(b1, b2)) =>
+              StrBounds(
+                if (ColBounds.cmpBytes(ColBounds.unhex(a1),
+                  ColBounds.unhex(b1)) <= 0) a1 else b1,
+                for (x <- a2; y <- b2) yield
+                  if (ColBounds.cmpBytes(ColBounds.unhex(x),
+                    ColBounds.unhex(y)) >= 0) x else y)
+            case (a, _) => a // mixed families cannot happen within one column
+          }.map(c -> _)
         }.toMap
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
@@ -765,7 +805,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         throw new IllegalStateException(
           s"snapshot $id was staged at $dest while compaction ran — " +
             "concurrent writer; retry compaction")
-      try Some(commitReplace(id, statsColumns))
+      try Some(commitCompact(id, statsColumns))
       catch { case e: Throwable => abort(id); throw e }
     } finally {
       if (io.exists(tmp)) io.delete(tmp, recursive = true): Unit
@@ -851,6 +891,39 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
   def isSelfContained(snapshotId: Long): Boolean = {
     val (segs, inline) = parseList(snapshotId)
     inline.isEmpty && segs.nonEmpty && segs.forall(isOwnSegment(_, snapshotId))
+  }
+
+  /** True iff the snapshot's own segments include REWRITE-tagged ones —
+    * `-rw<N>` survivor segments of a row-level delete/upsert
+    * ([[commitRewrite]]) or the `-cp` segment of a [[compact]] — i.e. its
+    * commit re-filed rows that already existed rather than (only) staging
+    * fresh content. Lineage attribution branches on this: backfilling such a
+    * commit's files as new lineage would double-count every carried-over
+    * row. Tags cannot collide with optimistic-commit tokens (hex-only).
+    */
+  def hasRewriteSegments(snapshotId: Long): Boolean =
+    io.exists(manifestPath(snapshotId)) && parseList(snapshotId)._1.exists { s =>
+      val n = s.substring(s.lastIndexOf('/') + 1)
+      n.startsWith(s"seg-$snapshotId-rw") || n.startsWith(s"seg-$snapshotId-cp")
+    }
+
+  /** True iff `child` is a row-level REWRITE of `parent` (delete / upsert /
+    * compact): it carries rewrite-tagged segments of its own, or references
+    * SOME but not ALL of the parent's segments — the one commit shape that
+    * drops parent segments while still carrying others by reference. A pure
+    * append (carries all), a replace (carries none), and a legacy-inline
+    * migration (parent holds inline entries) all return false.
+    */
+  def isRewriteOf(child: Long, parent: Long): Boolean = {
+    if (hasRewriteSegments(child)) return true
+    if (!io.exists(manifestPath(child)) ||
+        !io.exists(manifestPath(parent))) return false
+    val (childSegs, childInline) = parseList(child)
+    val (parentSegs, parentInline) = parseList(parent)
+    val cs = childSegs.toSet
+    val ps = parentSegs.toSet
+    childInline.isEmpty && parentInline.isEmpty &&
+      (ps -- cs).nonEmpty && ps.intersect(cs).nonEmpty
   }
 
   /** Incremental read: the data files ADDED strictly after `fromSnapshot`,
@@ -1349,10 +1422,59 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
 object SnapshotLog {
 
   /** Path + manifest-recorded size (None for legacy entries) + per-column
-    * min/max stats of one data file.
+    * min/max bounds of one data file (see [[ColBounds]]).
     */
   final case class FileMeta(path: String, size: Option[Long],
-      stats: Map[String, (Long, Long)])
+      stats: Map[String, ColBounds])
+
+  /** One parquet column chunk's statistics as [[ColBounds]], or None when
+    * the physical/logical type has no sound long-or-bytes ordering to
+    * record. INT32/INT64 accept plain ints, int annotations, DATE (days —
+    * Catalyst date literals are day ints) and TIMESTAMP (normalized to
+    * micros; MILLIS × 1000, NANOS skipped rather than rounded — a floored
+    * max would under-bound). Decimal-annotated ints are skipped: their raw
+    * longs order correctly but Catalyst compares Decimal literals, not
+    * longs. BINARY-UTF8 records truncated byte-wise string bounds.
+    */
+  private[spark] def statBounds(pt: org.apache.parquet.schema.PrimitiveType,
+      s: org.apache.parquet.column.statistics.Statistics[_]): Option[ColBounds] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def asLong(v: Any): Option[Long] = v match {
+      case n: java.lang.Integer => Some(n.longValue)
+      case n: java.lang.Long => Some(n.longValue)
+      case _ => None
+    }
+    pt.getPrimitiveTypeName match {
+      case INT32 | INT64 =>
+        val scale: Option[Long => Long] = pt.getLogicalTypeAnnotation match {
+          case null => Some(identity)
+          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => Some(identity)
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some(identity)
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(identity)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(_ * 1000L)
+              case _ => None
+            }
+          case _ => None
+        }
+        for (f <- scale; mn <- asLong(s.genericGetMin(): Any);
+             mx <- asLong(s.genericGetMax(): Any))
+          yield LongBounds(f(mn), f(mx))
+      case BINARY if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        (s.genericGetMin(): Any, s.genericGetMax(): Any) match {
+          case (mn: org.apache.parquet.io.api.Binary,
+                mx: org.apache.parquet.io.api.Binary) =>
+            Some(StrBounds(
+              ColBounds.hex(ColBounds.strLower(mn.getBytes)),
+              ColBounds.strUpper(mx.getBytes).map(ColBounds.hex)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   /** The active (thread-local) or default (process-global) Spark session's
     * Hadoop configuration when one exists (so `fs.*` settings the deployment

@@ -15,6 +15,8 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // micros, not legacy INT96 — timestamp footer stats for file skipping
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -475,7 +477,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // these files; hash clustering leaves collided values spanning too)
     val newRanges = log.metaAt(1L)
       .filterNot(m => filesBefore.contains(m.path))
-      .flatMap(_.stats.get("bucket"))
+      .flatMap(_.stats.get("bucket")).flatMap(_.longs)
     assert(newRanges.nonEmpty)
     for (Seq((_, aHi), (bLo, _)) <- newRanges.sorted.sliding(2)
          if newRanges.size > 1)
@@ -853,6 +855,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(col("snapshot_id") === 1L && col("wall_ms") === -1L).count() > 0)
     // idempotent: nothing left to repair
     assert(ExtractJob.backfillMetrics(spark, dir).isEmpty)
+  }
+
+  test("backfillMetrics skips rewrite commits: delete/upsert survivors and compacts are not re-attributed") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("backfill_rw")
+    ExtractJob.run(spark, spark.createDataset(fixture), dir, 8) // snapshot 0
+    val log = new SnapshotLog(dir)
+    val schema = Schemas.extractedSchema
+    // snapshot 1: row-level delete — fresh files are survivor rewrites
+    val drops = spark.createDataset(fixture.take(3).map(_.url)).toDF("url")
+    assert(log.deleteMatching(spark, schema, drops, "url").contains(1L))
+    assert(log.isRewriteOf(1L, 0L), "delete must be structurally a rewrite")
+    // snapshot 2: compact — same rows, new files, `cp`-tagged segment
+    assert(log.compact(spark, schema, targetFiles = 1).contains(2L))
+    assert(log.hasRewriteSegments(2L), "compact segment must carry the cp tag")
+    assert(!log.hasRewriteSegments(0L) && !log.isRewriteOf(0L, -1L))
+    val before = spark.read.parquet(s"$dir/metrics").count()
+    // neither rewrite id gets lineage backfilled: their rows are carried
+    // content already attributed under snapshot 0 (round-5 ADVICE: the path
+    // diff previously re-counted every survivor-rewrite file)
+    assert(ExtractJob.backfillMetrics(spark, dir).isEmpty)
+    assert(spark.read.parquet(s"$dir/metrics").count() == before)
+    assert(spark.read.parquet(s"$dir/metrics")
+      .filter(col("snapshot_id") > 0L).count() == 0)
   }
 
   test("scanIncremental: reads exactly the rows appended between two snapshots; replace breaks lineage loudly") {

@@ -207,7 +207,7 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.size == 4)
     assert(meta.forall(_.stats.get("bucket").isDefined),
       s"every file must carry bucket stats: $meta")
-    assert(meta.map(_.stats("bucket")).toSet ==
+    assert(meta.flatMap(_.stats("bucket").longs).toSet ==
       (0 until 4).map(b => (b.toLong, b.toLong)).toSet)
 
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -372,6 +372,70 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val metaNames = new java.io.File(dir, "meta").listFiles().map(_.getName)
       assert(!metaNames.exists(_.endsWith(".tmp")), metaNames.mkString(","))
     } finally { hc.unset("graft.fs.atomic.rename"); hc.unset("graft.fs.cas.unsafe") }
+  }
+
+  test("string/timestamp manifest stats: lang and warc_ts filters plan fewer files") {
+    val dir = tmpDir("stats_str_ts")
+    val log = new SnapshotLog(dir)
+    val langs = Seq("de", "en", "fr")
+    val stage = log.stageDataDir(0L)
+    for ((lang, i) <- langs.zipWithIndex) {
+      spark.range(20).select(
+        concat(lit(s"https://site-$lang.example/page/padding/"), col("id")).as("url"),
+        (lit(1700000000L + i * 100000L) + col("id")).cast("timestamp").as("warc_ts"),
+        lit(lang).as("lang"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/part-$i")
+    }
+    log.commit(0L, statsColumns = Seq("lang", "warc_ts", "url"))
+    val meta = log.metaAt(0L)
+    assert(meta.size == 3)
+    assert(meta.forall(_.stats.get("lang").exists(_.isInstanceOf[StrBounds])),
+      s"lang must record string bounds: $meta")
+    assert(meta.forall(_.stats.get("warc_ts").exists(_.isInstanceOf[LongBounds])),
+      s"warc_ts must record micros bounds: $meta")
+    // url is longer than the 16-byte truncation: lower/upper bounds present
+    // (upper incremented), pruning stays sound below
+    assert(meta.forall(_.stats.get("url").exists {
+      case StrBounds(mn, mx) => mn.length == 32 && mx.isDefined
+      case _ => false
+    }), s"url must record truncated string bounds: $meta")
+
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.unsafe.types.UTF8String
+    val idx = new ManifestFileIndex(dir,
+      meta.map(m => ManifestEntry(m.path, m.size.get, m.stats)))
+    def planned(f: Expression): Int = idx.listFiles(Nil, Seq(f)).map(_.files.size).sum
+    def str(s: String) = Literal(UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
+    val langA = AttributeReference("lang",
+      org.apache.spark.sql.types.StringType)()
+    assert(planned(EqualTo(langA, str("en"))) == 1, "lang = 'en' is one file")
+    assert(planned(EqualTo(str("en"), langA)) == 1, "literal-on-left too")
+    assert(planned(GreaterThan(langA, str("de"))) == 2, "en + fr")
+    assert(planned(LessThanOrEqual(str("en"), langA)) == 2, "'en' <= lang is en + fr")
+    assert(planned(In(langA, Seq(str("de"), str("fr")))) == 2)
+    val tsA = AttributeReference("warc_ts",
+      org.apache.spark.sql.types.TimestampType)()
+    val cutMicros = (1700000000L + 100000L) * 1000000L
+    assert(planned(GreaterThanOrEqual(tsA,
+      Literal(cutMicros, org.apache.spark.sql.types.TimestampType))) == 2,
+      "warc_ts >= file-1 start plans files 1 and 2")
+    assert(planned(LessThan(tsA,
+      Literal(cutMicros, org.apache.spark.sql.types.TimestampType))) == 1)
+    // end-to-end soundness through the real scan: pruning loses no rows
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("warc_ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType)))
+    assert(log.scan(spark, schema).filter(col("lang") === "en").count() == 20)
+    assert(log.scan(spark, schema)
+      .filter(col("url") === "https://site-fr.example/page/padding/7").count() == 1,
+      "truncated url bounds must keep the file holding the value")
+    assert(log.scan(spark, schema)
+      .filter(col("warc_ts") >= (lit(1700100000L).cast("timestamp"))).count() == 40)
   }
 
   test("extract pipeline records bucket stats and a bucket read plans fewer files") {
