@@ -24,10 +24,12 @@ import scala.jdk.CollectionConverters._
   *     is all-or-nothing, so readers still never see a torn file (the
   *     write-then-marker half of the protocol; directory publishes gate on a
   *     trailing marker object instead of rename). A commit CAS does not exist
-  *     on these stores without a conditional-PUT/lock service, so it fails
-  *     loudly unless `graft.fs.cas.unsafe=true` opts into last-writer-wins
-  *     (the same position Iceberg's HadoopCatalog takes: object stores need a
-  *     real catalog for multi-writer commits).
+  *     on these stores without external serialization, so the commit point
+  *     runs under a configured [[CommitLock]] (`graft.fs.cas.lock=lease` for
+  *     the built-in file-lease queue, or a [[CommitLock.Provider]] class for
+  *     a real lock service — the role Iceberg gives its catalog/LockManager);
+  *     with no lock configured it fails loudly unless
+  *     `graft.fs.cas.unsafe=true` opts into last-writer-wins.
   *
   * The `file:` filesystem is pinned to [[RawLocalFileSystem]] on a PRIVATE
   * instance (`FileSystem.newInstance`, so the process-wide FS cache that
@@ -157,20 +159,37 @@ final class GraftIo(base: String, userConf: Configuration) {
     * protocol — the primitive must be atomically exclusive, which each store
     * class provides differently (see class doc).
     */
+  /** The configured [[CommitLock]] for this store, if any (resolved once —
+    * lock state lives in the filesystem, so one resolver per io handle is
+    * enough for cross-process exclusion).
+    */
+  lazy val commitLock: Option[CommitLock] = CommitLock.forStore(this)
+
   def casPromoteFile(src: HPath, dst: HPath): Boolean =
     // atomicRename gates FIRST: the conf override ("treat this store as
     // non-atomic") must win over the file: fast path, or the object-store
     // protocol could never be exercised on local test disks
-    if (!atomicRename) {
-      if (conf.getBoolean("graft.fs.cas.unsafe", false)) {
+    if (!atomicRename) commitLock match {
+      case Some(lock) =>
+        // serialized check-and-put under the lock: with every committer on
+        // this table going through the same lock, probe-absent + PUT is
+        // exclusive and racing appenders land exactly as on rename-atomic
+        // stores (lost CAS → retry against the new head)
+        val lease = lock.acquire()
+        try {
+          if (exists(dst)) false
+          else { writeDirect(dst, readString(src)); delete(src); true }
+        } finally lease.release()
+      case None if conf.getBoolean("graft.fs.cas.unsafe", false) =>
         // documented last-writer-wins: object stores have no exclusive-create
-        // through this API — a real deployment points the commit at a catalog
-        // or lock service instead of opting in here
+        // through this API — a real deployment configures a CommitLock (or a
+        // catalog) instead of opting in here
         if (exists(dst)) false
         else { writeDirect(dst, readString(src)); delete(src); true }
-      } else sys.error(
+      case None => sys.error(
         s"store '$scheme' has no atomic rename: the snapshot-commit CAS cannot " +
-          "be exclusive. Use a lock/catalog service, or accept last-writer-wins " +
+          "be exclusive. Configure a commit lock (graft.fs.cas.lock=lease, or " +
+          "a CommitLock.Provider class name), or accept last-writer-wins " +
           "with graft.fs.cas.unsafe=true")
     } else if (scheme == "file") {
       val s = java.nio.file.Paths.get(src.toUri.getPath)

@@ -374,6 +374,62 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { hc.unset("graft.fs.atomic.rename"); hc.unset("graft.fs.cas.unsafe") }
   }
 
+  test("non-atomic store protocol: racing appenders all land through the lease commit lock") {
+    // the round-5 gap: s3a:// deployments chose between single-writer and
+    // unsafe last-writer-wins. With graft.fs.cas.lock=lease the commit CAS
+    // serializes through the member-file queue and the 6-appender latch
+    // scenario lands exactly as on a rename-atomic store.
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("graft.fs.atomic.rename", false)
+    hc.set("graft.fs.cas.lock", "lease")
+    hc.setLong("graft.fs.cas.lock.settle.ms", 25L)
+    try {
+      val dir = tmpDir("nonatomic_lock")
+      val base = new SnapshotLog(dir)
+      val rows = spark.range(700).select(col("id"), (col("id") % 5).as("v"))
+      rows.filter(col("id") < 100).repartition(2)
+        .write.mode("overwrite").parquet(base.stageDataDir(0L))
+      base.commit(0L)
+      val writers = (0 until 6).map { i =>
+        val log = new SnapshotLog(dir)
+        val stage = log.stageUniqueDataDir()
+        rows.filter(col("id") >= 100 + i * 100 && col("id") < 200 + i * 100)
+          .repartition(2).write.mode("overwrite").parquet(stage)
+        (log, stage)
+      }
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val futures = writers.map { case (log, stage) =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = { latch.await(); log.commitOptimistic(stage) }
+        })
+      }
+      latch.countDown()
+      val ids = futures.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(ids.toSet == (1L to 6L).toSet, s"got $ids")
+      assert(base.currentSnapshot().contains(6L))
+      for (id <- 1L to 6L)
+        assert(base.isAppendOf(id, id - 1), s"snapshot $id must be a pure append")
+      assert(base.scan(spark, rows.schema).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq == (0L until 700L).toSeq)
+      val incCounts = (1L to 6L).map(id =>
+        base.scanIncremental(spark, rows.schema, id - 1, Some(id)).count())
+      assert(incCounts.forall(_ == 100L), s"per-append diffs: $incCounts")
+      // every lease released: the queue directory drained
+      val lockDir = new java.io.File(dir, "_locks")
+      assert(!lockDir.isDirectory || lockDir.listFiles().isEmpty,
+        Option(lockDir.listFiles()).map(_.mkString(",")).getOrElse(""))
+      // no .tmp metadata residue: everything was PUT at final names
+      val metaNames = new java.io.File(dir, "meta").listFiles().map(_.getName)
+      assert(!metaNames.exists(_.endsWith(".tmp")), metaNames.mkString(","))
+    } finally {
+      hc.unset("graft.fs.atomic.rename")
+      hc.unset("graft.fs.cas.lock")
+      hc.unset("graft.fs.cas.lock.settle.ms")
+    }
+  }
+
   test("string/timestamp manifest stats: lang and warc_ts filters plan fewer files") {
     val dir = tmpDir("stats_str_ts")
     val log = new SnapshotLog(dir)
