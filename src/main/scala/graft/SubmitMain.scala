@@ -37,10 +37,11 @@ object SubmitMain {
         |  extract <pagesParquet> <tableDir> [numBuckets=32] [--force]
         |  search  <tableDir> <matchedDir> Field=value...
         |  bundle  <matchedDir> <bundleDir>
-        |  expire  <tableDir> <keepLast>
+        |  expire  <tableDir> <keepLast> [--ignore-streams]
         |  compact <tableDir> [targetFiles=128] [sortBy=col1,col2]
         |  orphans <tableDir> [minAgeHours=1]
         |  describe <tableDir>
+        |  streams <tableDir> [drop <streamId>]
         |  lsh-index <embeddingsParquet> <indexDir>
         |  ivf-index <embeddingsParquet> <indexDir> [cells=16] [iters=1]
         |  repair-metrics <tableDir>
@@ -74,7 +75,7 @@ object SubmitMain {
     // compact's targetFiles is optional; tail needs 4 args; the rest 3
     val minArgs = args.headOption match {
       case Some("compact") | Some("orphans") | Some("repair-metrics") |
-           Some("describe") => 2
+           Some("describe") | Some("streams") => 2
       case Some("tail") | Some("pipeline") | Some("reextract") => 4
       case Some("stream") => 5
       case _ => 3
@@ -85,11 +86,33 @@ object SubmitMain {
     args(0) match {
       case "expire" =>
         // snapshot GC (C7): retain the last <keepLast> snapshots, reclaim
-        // expired manifests + data files no retained manifest references
+        // expired manifests + data files no retained manifest references.
+        // Registered streams clamp retention (the guard warns on stderr);
+        // a trailing `--ignore-streams` is the decommissioned-stream override
         val Array(_, tableDir, keepStr) = args.take(3)
         val (manifests, files) = new SnapshotLog(tableDir)
-          .expireSnapshots(keepStr.toInt)
+          .expireSnapshots(keepStr.toInt,
+            ignoreStreams = args.contains("--ignore-streams"))
         println(s"expired $manifests snapshots, deleted $files data files")
+        return
+      case "streams" =>
+        // registered streaming readers of a table: what expire clamps on.
+        // `streams <table> drop <id>` deregisters a decommissioned stream
+        val tableDir = args(1)
+        val log = new SnapshotLog(tableDir)
+        if (args.length > 3 && args(2) == "drop") {
+          val ok = log.dropStreamMarker(args(3))
+          println(if (ok) s"dropped stream marker ${args(3)}"
+                  else s"no stream marker ${args(3)} under $tableDir")
+        } else {
+          val ms = log.streamMarkers().sortBy(_.streamId)
+          if (ms.isEmpty) println(s"$tableDir: no registered streams")
+          else ms.foreach { m =>
+            val age = (System.currentTimeMillis() - m.updatedAtMs) / 1000L
+            println(s"${m.streamId}\tcommitted=${m.committed}\t" +
+              s"updated ${age}s ago\t${m.info}")
+          }
+        }
         return
       case "orphans" =>
         // age-gated remove_orphan_files analog: reclaim crashed-stage residue
@@ -124,6 +147,12 @@ object SubmitMain {
             if (txns.nonEmpty)
               println("  txn watermarks:" + txns.toSeq.sortBy(_._1)
                 .map { case (a, v) => s"\n    $a = $v" }.mkString)
+            val streams = log.streamMarkers().sortBy(_.streamId)
+            if (streams.nonEmpty)
+              println("  registered streams (retention floor = " +
+                s"${streams.map(_.committed).min}):" + streams
+                .map(m => s"\n    ${m.streamId} committed=${m.committed}")
+                .mkString)
         }
         return
       case _ => ()

@@ -600,12 +600,44 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * Returns (expired manifest count, deleted data file count). Time travel
     * to an expired snapshot fails fast afterwards ([[filesAt]] requires the
     * manifest); retained snapshots stay readable.
+    *
+    * STREAM GUARD (round 6): a registered streaming reader
+    * ([[registerStreamProgress]]) pins every snapshot at-or-after its
+    * committed offset — its next micro-batch diffs FROM that snapshot, so
+    * reclaiming it would strand the stream with its data already gone (the
+    * stream's own failure is loud but unrecoverable). Retention silently
+    * past a lagging checkpoint was round 5's gap: the stream failed
+    * correctly, but the operator had no warning at the decision point.
+    * Expire therefore CLAMPS to the laggiest marker (fewer snapshots expire
+    * than `keepLast` asked; the clamp is reported on stderr with the
+    * blocking stream and its last-progress age). `ignoreStreams = true` is
+    * the explicit override for decommissioned streams — pair it with
+    * [[dropStreamMarker]] so the next expire doesn't clamp again.
     */
-  def expireSnapshots(keepLast: Int): (Int, Int) = {
+  def expireSnapshots(keepLast: Int, ignoreStreams: Boolean = false): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val all = snapshots()
     if (all.isEmpty) return (0, 0)
-    val keep = all.takeRight(keepLast).toSet ++ currentSnapshot().toSet
+    val byCount = all.takeRight(keepLast).toSet ++ currentSnapshot().toSet
+    val guards = if (ignoreStreams) Nil else streamMarkers()
+    // committed = -1 (registered, no batch checkpointed yet) pins the whole
+    // history: that stream's replayable batch 0 may target any snapshot
+    val keep = guards.map(_.committed).minOption match {
+      case Some(floor) => byCount ++ all.filter(_ >= floor)
+      case None => byCount
+    }
+    val pinned = (keep -- byCount).toSeq.sorted
+    if (pinned.nonEmpty) {
+      val laggiest = guards.minBy(_.committed)
+      val ageSec = (System.currentTimeMillis() - laggiest.updatedAtMs) / 1000L
+      System.err.println(
+        s"[graft] expireSnapshots(keepLast=$keepLast) on $tableRoot retained " +
+          s"${pinned.size} extra snapshot(s) ${pinned.mkString(",")} for " +
+          s"registered stream '${laggiest.streamId}' (committed=" +
+          s"${laggiest.committed}, last progress ${ageSec}s ago, " +
+          s"${laggiest.info}); dropStreamMarker + ignoreStreams=true " +
+          "overrides for a decommissioned stream")
+    }
     val drop = all.filterNot(keep)
     val live = keep.flatMap(id => filesAt(id))
     // only files REACHABLE FROM EXPIRED MANIFESTS are deletion candidates
@@ -633,6 +665,49 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     }
     (drop.size, deleted)
   }
+
+  private def streamsDir: HPath = new HPath(metaDir, "streams")
+  private def streamMarkerPath(streamId: String): HPath = {
+    require(streamId.nonEmpty && !streamId.exists(c => c == '/' || c == '\\'),
+      s"streamId must be a bare file name, got '$streamId'")
+    new HPath(streamsDir, streamId)
+  }
+
+  /** Register (or refresh) a streaming reader's progress over this table,
+    * under `meta/streams/<streamId>`. `committed` is the newest snapshot the
+    * stream has fully processed AND checkpointed — its next batch diffs FROM
+    * it — or -1 before the first batch commits. [[expireSnapshots]] clamps
+    * retention to the laggiest marker (the Kafka-consumer-group shape: the
+    * table knows who reads it, so maintenance can see a lagging checkpoint
+    * BEFORE destroying the data it needs). One writer per streamId — the
+    * stream's own driver — so overwrite-publish is the right primitive; a
+    * marker is advisory progress, never a commit point.
+    */
+  def registerStreamProgress(streamId: String, committed: Long,
+      info: String = ""): Unit = {
+    val p = streamMarkerPath(streamId)
+    io.mkdirs(streamsDir)
+    io.writeAtomic(p,
+      s"$committed\t${System.currentTimeMillis()}\t${info.replace('\n', ' ')}\n")
+  }
+
+  /** All registered stream markers (unordered). Unparseable markers (torn
+    * non-atomic-store writes, foreign files) are skipped — a corrupt marker
+    * must not wedge table maintenance forever.
+    */
+  def streamMarkers(): Seq[SnapshotLog.StreamMarker] =
+    if (!io.isDirectory(streamsDir)) Nil
+    else io.list(streamsDir).filter(_.isFile).flatMap { st =>
+      try {
+        val parts = io.readString(st.getPath).trim.split('\t')
+        Some(SnapshotLog.StreamMarker(st.getPath.getName, parts(0).toLong,
+          parts(1).toLong, if (parts.length > 2) parts(2) else ""))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Deregister a stream (decommission). Returns false when absent. */
+  def dropStreamMarker(streamId: String): Boolean =
+    io.delete(streamMarkerPath(streamId))
 
   /** Compaction — bin-pack the current snapshot's data files into at most
     * `targetFiles` larger ones and commit the rewrite as a replace snapshot
@@ -1420,6 +1495,15 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
 }
 
 object SnapshotLog {
+
+  /** A streaming reader's registered progress over a table:  `committed` is
+    * the newest snapshot the stream has fully processed and checkpointed
+    * (-1 = registered but no batch committed yet — pins the whole history),
+    * `updatedAtMs` the marker's last refresh (wall clock of the stream's
+    * driver), `info` a human diagnostic (the stream's checkpoint location).
+    */
+  final case class StreamMarker(streamId: String, committed: Long,
+      updatedAtMs: Long, info: String)
 
   /** Path + manifest-recorded size (None for legacy entries) + per-column
     * min/max bounds of one data file (see [[ColBounds]]).

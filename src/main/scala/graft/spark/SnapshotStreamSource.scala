@@ -127,8 +127,21 @@ final class SnapshotStreamProvider extends StreamSourceProvider with DataSourceR
       require(n >= 1, s"maxSnapshotsPerTrigger must be >= 1, got $n")
       n
     }
+    // retention guard registration: the stream announces itself under the
+    // TABLE's meta (id generated once per checkpoint — spelling-stable like
+    // the idempotence appId) so expireSnapshots sees a lagging checkpoint
+    // before reclaiming the snapshots it still diffs from. First start
+    // registers the resolved startingSnapshot; restarts keep the existing
+    // marker (the checkpoint is further along — the first batch commit
+    // refreshes it) so re-registration never regresses progress.
+    val streamId = marker(sqlContext, metadataPath, "stream-id",
+      "stream-" + java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+    if (!log.streamMarkers().exists(_.streamId == streamId))
+      log.registerStreamProgress(streamId, startingAfter.getOrElse(-1L),
+        s"checkpoint=$metadataPath")
     new SnapshotStreamSource(sqlContext, path, log, streamSchema,
-      startingAfter, maxPerTrigger)
+      startingAfter, maxPerTrigger, streamId = Some(streamId),
+      markerInfo = s"checkpoint=$metadataPath")
   }
 
   /** Read-or-persist a small value under the stream's `metadataPath`: the
@@ -222,7 +235,9 @@ object SnapshotStreamProvider {
 final class SnapshotStreamSource(sqlContext: SQLContext, path: String,
     log: SnapshotLog, override val schema: StructType,
     startingAfter: Option[Long],
-    maxSnapshotsPerTrigger: Option[Long] = None) extends Source
+    maxSnapshotsPerTrigger: Option[Long] = None,
+    streamId: Option[String] = None,
+    markerInfo: String = "") extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -305,6 +320,18 @@ final class SnapshotStreamSource(sqlContext: SQLContext, path: String,
     delivered = math.max(delivered, to)
     log.streamingBatch(sqlContext.sparkSession, schema, from, to)
   }
+
+  /** Batch-complete callback: `end` is processed AND checkpointed, so the
+    * stream's next batch diffs FROM it — refresh the table-side retention
+    * marker to that offset. Best-effort by contract: the marker is advisory
+    * (expire clamps on it; nothing correctness-bearing reads it), so a
+    * failed refresh must not fail the batch the engine just committed.
+    */
+  override def commit(end: Offset): Unit =
+    for (id <- streamId) {
+      try log.registerStreamProgress(id, idOf(end), markerInfo)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   override def stop(): Unit = ()
 

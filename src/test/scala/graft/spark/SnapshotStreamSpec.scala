@@ -445,4 +445,72 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
         "the incremental batch must fold into the running aggregate")
     } finally q.stop()
   }
+
+  test("retention guard: expire clamps to a lagging stream and releases as it advances") {
+    // round-5 gap: expireSnapshots could reclaim a snapshot a lagging
+    // stream's checkpoint still diffs from — the stream then failed loudly
+    // but the data was already gone. Streams now register progress markers
+    // under the table's meta and expire clamps to the laggiest one.
+    val dir = tmpDir("stream_guard")
+    val ckpt = tmpDir("stream_guard_ckpt")
+    val log = new SnapshotLog(dir)
+    append(log, 0 until 4)   // snap 0
+    append(log, 4 until 8)   // snap 1
+    append(log, 8 until 12)  // snap 2
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def sink(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.select("id").collect().foreach(r => seen.add(r.getLong(0)))
+    def ids(): Seq[Long] = { import scala.jdk.CollectionConverters._; seen.asScala.toSeq.sorted }
+    def start() = readStream(dir).writeStream.foreachBatch(sink _)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      q1.processAllAvailable() // batch 0: full load at snap 2
+      assert(ids() == (0L until 12L))
+      // registration happened at query start, before any batch committed:
+      // the marker pins the whole history (committed = -1, no start option)
+      val m0 = log.streamMarkers()
+      assert(m0.size == 1 && m0.head.committed == -1L, m0.toString)
+      assert(m0.head.info.contains("checkpoint="), m0.head.info)
+      // keepLast=1 alone would reclaim snaps 0-1; the guard pins everything
+      assert(log.expireSnapshots(keepLast = 1) == ((0, 0)),
+        "a registered stream that checkpointed nothing pins all history")
+      assert(log.snapshots() == Seq(0L, 1L, 2L))
+      // batch 1 ((2,3]) starts -> the engine commits batch 0 -> marker = 2
+      append(log, 12 until 16) // snap 3
+      q1.processAllAvailable()
+      assert(ids() == (0L until 16L))
+    } finally q1.stop()
+    assert(log.streamMarkers().head.committed == 2L,
+      log.streamMarkers().toString)
+
+    // expire now reclaims BELOW the marker and keeps 2 (the diff base of the
+    // stream's next batch) even though keepLast=1 asks for head-only
+    val (m1, _) = log.expireSnapshots(keepLast = 1)
+    assert(m1 == 2, s"expected snaps 0-1 reclaimed, got $m1")
+    assert(log.snapshots() == Seq(2L, 3L))
+
+    // the stream survives the clamped expire: restart delivers exactly the
+    // appends landed while it was down
+    append(log, 16 until 20) // snap 4
+    seen.clear()
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(ids() == (16L until 20L),
+        "restart after a clamped expire must resume exactly where it left off")
+    } finally q2.stop()
+
+    // decommission: the explicit override expires regardless of the marker,
+    // and dropStreamMarker removes the registration for good
+    val sid = log.streamMarkers().head.streamId
+    val (m2, _) = log.expireSnapshots(keepLast = 1, ignoreStreams = true)
+    assert(m2 == 2, s"override must apply plain keepLast, got $m2")
+    assert(log.snapshots() == Seq(4L))
+    assert(log.dropStreamMarker(sid))
+    assert(log.streamMarkers().isEmpty)
+    assert(!log.dropStreamMarker(sid), "second drop must report absence")
+  }
 }
