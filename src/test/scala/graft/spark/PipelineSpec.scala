@@ -1191,6 +1191,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lshRec >= 0.9, f"LSH recall@10 at 12-bit 13-probe was $lshRec%.3f")
   }
 
+  test("e09 registry query: clustered re-shape yields a full non-degenerate top-10") {
+    val sp = spark; import sp.implicits._
+    // fixture-shaped corpus: near-isotropic vectors, the geometry on which
+    // the raw-fixture e09 row degenerated to 1 result (12-bit buckets hold
+    // ~0.5 vectors). The registry entry now serves over
+    // withClusterStructure, so the driver artifact exercises the real
+    // serving path: probe pruning + an in-bucket brute force with k=10
+    // actual competitors.
+    val dir = tmpDir("e09_fixture")
+    Seq.tabulate(800)(i =>
+      (i.toLong, Array.tabulate(64)(d => math.sin(i * 0.37 + d * 1.3).toFloat), i % 5))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Queries.registry("e09_lsh_indexed")(spark, dir).collect()
+    assert(rows.length == 10, s"expected a full top-10, got ${rows.length}")
+    // the query vector is vec_id 0's own clustered embedding: self-match tops
+    // (>= not ==: cosine(v,v) can land one float ulp under 1.0 and the ppm
+    // cast truncates)
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) >= 999990L,
+      s"top hit must be the query's own vector, got ${rows.head}")
+    // a clustered corpus means real competitors: every hit near-parallel
+    assert(rows.forall(_.getLong(1) >= 900000L),
+      s"cluster members must dominate the top-10: ${rows.mkString(", ")}")
+  }
+
   test("lshTopKIndexed: equals scan-based lshTopK and the plan partition-prunes the probes") {
     val sp = spark; import sp.implicits._
     val emb = Seq.tabulate(300)(i =>
