@@ -305,6 +305,41 @@ object Bench {
         } finally searchSession.stop()
       }
 
+    // composed incremental pipeline (round-6 VERDICT item 8): the flagship
+    // 100 TB loop — extract only the pending slice -> tail exactly the
+    // appended slice -> inverted dedup probe -> one conditional-OCC commit —
+    // timed PER TURN so the artifact tracks what round 6 changed (the probe
+    // inversion) and round 7 can see regressions. Three turns over disjoint
+    // url-hash thirds of the pages table; texts repeat across the bench
+    // table's replication factor, so later turns also exercise the
+    // drop-duplicates path (appended_rows falls while the probe still runs).
+    val (turnSecs, turnRows) =
+      if (!pagesOk) (Seq.empty[Double], Seq.empty[Long])
+      else phase("pipeline", (Seq.empty[Double], Seq.empty[Long])) {
+        val spark = newSession(cpusHigh)
+        try {
+          import spark.implicits._
+          val workDir = new java.io.File("/root/repo/target/bench_pipeline")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(): Unit
+          }
+          rm(workDir) // fresh tables: turn 0 is the seeding turn
+          val table = s"$workDir/extracted"; val dd = s"$workDir/deduped"
+          val pages = spark.read.schema(graft.spark.Schemas.pagesSchema)
+            .parquet(pagesPath).as[graft.spark.Schemas.Page]
+          val turns = 3
+          val results = (0 until turns).map { t =>
+            val batch = pages.filter(pmod(hash(col("url")), lit(turns)) === t)
+            val t0 = System.nanoTime()
+            val r = graft.spark.Pipelines.incrementalDedup(
+              spark, batch, table, dd, numBuckets = cpusHigh * 4)
+            ((System.nanoTime() - t0) / 1e9, r.appendedRows)
+          }
+          (results.map(_._1), results.map(_._2))
+        } finally spark.stop()
+      }
+
     def ratio(num: Double, den: Double): Double = if (den > 0) num / den else 0.0
     val thruHigh = ratio(docs.toDouble, secH)
     val thruN = ratio(docs.toDouble, secL)
@@ -342,6 +377,9 @@ object Bench {
       s""""docs_per_sec_n":${f"$thruN%.1f"},"docs_per_sec_4n":${f"$thru4N%.1f"},""" +
       s""""mb_per_sec_max":${f"$mbH%.1f"},""" +
       s""""search_docs_per_sec":${f"${ratio(searchDocs.toDouble, searchSec)}%.1f"},""" +
-      s""""scaling_efficiency":${f"$efficiency%.3f"}},"spread":$spreadJson}""")
+      s""""scaling_efficiency":${f"$efficiency%.3f"}},""" +
+      s""""pipeline":{"turn_sec":${arr(turnSecs)},""" +
+      s""""appended_rows":${turnRows.mkString("[", ",", "]")}},""" +
+      s""""spread":$spreadJson}""")
   }
 }
