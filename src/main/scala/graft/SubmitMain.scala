@@ -104,6 +104,12 @@ object SubmitMain {
           val ok = log.dropStreamMarker(args(3))
           println(if (ok) s"dropped stream marker ${args(3)}"
                   else s"no stream marker ${args(3)} under $tableDir")
+        } else if (args.length == 3 && args(2) == "drop") {
+          // a forgotten id must not silently degrade to the LIST branch: the
+          // exit-0 listing reads as success while nothing was dropped and
+          // the next expire still clamps on the marker (round-6 review)
+          System.err.println("usage: streams <tableDir> drop <streamId>")
+          sys.exit(2)
         } else {
           val ms = log.streamMarkers().sortBy(_.streamId)
           if (ms.isEmpty) println(s"$tableDir: no registered streams")

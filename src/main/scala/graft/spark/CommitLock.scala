@@ -99,9 +99,26 @@ final class FileLeaseCommitLock(io: GraftIo, dir: HPath,
   // queue order, and the uuid both uniquifies and tiebreaks deterministically
   private val MemberName = """(\d{20})-[0-9a-f]{12}""".r
 
-  private def expiryOf(p: HPath): Option[Long] =
-    try Some(io.readString(p).trim.toLong)
-    catch { case _: java.io.IOException | _: NumberFormatException => None }
+  import FileLeaseCommitLock.{Absent, Expiry, MemberRead, Unreadable}
+
+  /** Read a member's lease expiry. `Absent` ONLY on FileNotFoundException —
+    * the one error that PROVES the member is gone (released or GC'd). Any
+    * other failure is `Unreadable` and must NOT count as vanished: a store
+    * 500/throttle on the live HOLDER's member would otherwise let a waiter
+    * filter the holder out of the queue and acquire while the lock was held
+    * — the exact lost-commit this lock exists to prevent (round-6 review).
+    * Unparseable content is also `Unreadable`, not corrupt-therefore-dead:
+    * on create-then-chmod local stores a freshly-PUT member reads EMPTY
+    * mid-write, and an immediate GC races the creator's own write (observed
+    * as a chmod-on-deleted-file failure in the latch test). The caller
+    * grants unreadable members a full lease of grace before reclaiming.
+    */
+  private def expiryOf(p: HPath): MemberRead =
+    try Expiry(io.readString(p).trim.toLong)
+    catch {
+      case _: java.io.FileNotFoundException => Absent
+      case _: java.io.IOException | _: NumberFormatException => Unreadable
+    }
 
   private def memberNames(): Seq[String] =
     io.list(dir).collect {
@@ -115,6 +132,15 @@ final class FileLeaseCommitLock(io: GraftIo, dir: HPath,
     // outer loop: one iteration per enqueued member; re-entered only if our
     // member was GC'd from under us (we stalled past our own lease)
     while (true) {
+      // deadline applies to the REQUEUE path too: with settleMs >= leaseMs
+      // every waiter expires between its own renewals and contenders GC each
+      // other perpetually — without this check that misconfiguration looped
+      // forever instead of surfacing as a timeout (round-6 review)
+      if (System.currentTimeMillis() > deadline)
+        sys.error(s"commit lock timeout after ${timeoutMs}ms re-enqueuing on " +
+          s"$dir — our member kept expiring before reaching the queue head; " +
+          s"is graft.fs.cas.lock.settle.ms ($settleMs) too close to " +
+          s"lease.ms ($leaseMs)?")
       val seen = memberNames()
       val maxSeen = seen.flatMap {
         case MemberName(ts) => Some(ts.toLong)
@@ -127,14 +153,25 @@ final class FileLeaseCommitLock(io: GraftIo, dir: HPath,
       io.writeDirect(my, (System.currentTimeMillis() + leaseMs).toString)
       if (settleMs > 0) Thread.sleep(settleMs)
       var requeue = false
+      // first-unreadable timestamps, scoped to this acquire: an unreadable
+      // member (mid-write on create-then-chmod stores, or a store error on
+      // a live holder) stays live for a full lease before it is reclaimed —
+      // a real contender becomes readable within settleMs, so only a write
+      // that crashed mid-PUT (or a store outage as long as a crashed
+      // holder's) ever ages out
+      val unreadableSince = scala.collection.mutable.Map.empty[String, Long]
       while (!requeue) {
         val now = System.currentTimeMillis()
         val live = memberNames().filter { n =>
           if (n == name) true
           else expiryOf(new HPath(dir, n)) match {
-            case Some(e) if e >= now => true
-            case Some(_) => io.delete(new HPath(dir, n)); false // expired: GC
-            case None => false // vanished between list and read
+            case Expiry(e) if e >= now => unreadableSince.remove(n); true
+            case Expiry(_) => io.delete(new HPath(dir, n)); false // expired: GC
+            case Absent => false // vanished between list and read
+            case Unreadable =>
+              if (now - unreadableSince.getOrElseUpdate(n, now) > leaseMs) {
+                io.delete(new HPath(dir, n)); false // crashed mid-PUT: GC
+              } else true
           }
         }
         if (!live.contains(name)) requeue = true // GC'd by a peer: re-enqueue
@@ -160,4 +197,11 @@ final class FileLeaseCommitLock(io: GraftIo, dir: HPath,
       io.writeDirect(my, (System.currentTimeMillis() + leaseMs).toString)
     def release(): Unit = { io.delete(my): Unit }
   }
+}
+
+private object FileLeaseCommitLock {
+  sealed trait MemberRead
+  case object Absent extends MemberRead
+  final case class Expiry(ms: Long) extends MemberRead
+  case object Unreadable extends MemberRead
 }

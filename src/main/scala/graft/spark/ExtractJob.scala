@@ -234,7 +234,7 @@ object ExtractJob {
       val files: Option[Seq[String]] =
         if (parent < 0) Some(log.filesAt(id)) // first commit: content = lineage
         else if (log.isAppendOf(id, parent)) Some(log.filesAddedBetween(parent, id))
-        else if (log.isRewriteOf(id, parent) || log.hasRewriteSegments(id)) None
+        else if (log.isRewriteOf(id, parent)) None
         // row-level rewrite (delete / upsert / compact): its fresh files are
         // SURVIVORS of parent rows re-filed (plus, for an upsert, merged
         // rows not separable from them at file granularity) — every one of

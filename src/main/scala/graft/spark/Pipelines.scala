@@ -212,9 +212,28 @@ object Pipelines {
         row_number().over(Window.partitionBy(col("fp")).orderBy(col("url"))))
       .filter(col("rn") === 1).drop("rn")
       .persist() // batch-sized; probed twice (digest collect + anti-join)
-    val batchFps = reps.select("fp64").distinct()
-      .collect().map(_.getLong(0))
+    // branch probe bounded at limit+1: a batch past the limit takes the
+    // semi-join branch, so collecting its FULL distinct digest set would be
+    // a wasted shuffle plus driver memory proportional to batch size — the
+    // exact case the broadcast branch exists for (round-6 review). isNotNull:
+    // Row.getLong NPEs on null, and a null digest (null text — outside the
+    // extract kernel's totality, but this probe is generic) can never IN-match
+    // anyway (its rows always survive: SQL null joins nothing).
+    val batchFps = reps.select("fp64").filter(col("fp64").isNotNull).distinct()
+      .limit(probeFilterLimit + 1).collect().map(_.getLong(0))
     val corpus = dlog.scan(spark, dedupedSchema, asOf = base)
+    // IN-branch soundness gate: a pre-fp64 (round-5) corpus file null-fills
+    // the column under the evolved schema, so a row-level `fp64 IN (...)`
+    // would drop its rows and silently re-admit duplicates. `fp64 IS NULL OR
+    // fp64 IN (...)` would be row-correct but file-skipping-dead (IsNull is
+    // not stats-refutable, so the Or keeps every file). The gate is pure
+    // metadata, read driver-side: every corpus file carrying fp64 BOUNDS
+    // implies no legacy files (the round-6 writer always records them), so
+    // the plain IN is sound AND prunes; any stats-less file degrades the
+    // turn to the semi-join branch, which probes the full `fp` column legacy
+    // files do carry (compact sortBy=fp64 upgrades the layout for good).
+    lazy val fp64Complete = base.exists(b =>
+      dlog.metaAt(b).forall(_.stats.contains("fp64")))
     // the corpus digests this batch could collide with: ≤ batch-sized output
     // (fp64 is a prefix of fp, so the IN filter over-approximates but never
     // misses; the join on the full fp is what decides)
@@ -224,7 +243,7 @@ object Pipelines {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("fp",
             org.apache.spark.sql.types.StringType))))
-      else if (batchFps.length <= probeFilterLimit)
+      else if (batchFps.length <= probeFilterLimit && fp64Complete)
         corpus.filter(col("fp64").isin(batchFps.toIndexedSeq: _*)).select("fp")
       else
         corpus.select("fp")

@@ -1533,7 +1533,14 @@ object SnapshotLog {
       case INT32 | INT64 =>
         val scale: Option[Long => Long] = pt.getLogicalTypeAnnotation match {
           case null => Some(identity)
-          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => Some(identity)
+          // signed only: UINT32/UINT64 stats order unsigned but
+          // genericGetMin/Max return the raw bits, so a value past the sign
+          // bit would record NEGATIVE bounds and prune files that match
+          // (Spark reads UINT32 as LongType — externally-written files hit
+          // this; round-6 review). Degrade to stats-absent = keep, the same
+          // position decimals take.
+          case a: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+            if a.isSigned => Some(identity)
           case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => Some(identity)
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
             t.getUnit match {

@@ -1466,6 +1466,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"2 digests must plan a strict subset of the ${meta.size} clustered files, got $kept")
   }
 
+  test("dedup probe on a pre-fp64 (legacy) corpus never re-admits duplicates") {
+    val sp = spark; import sp.implicits._
+    // round-5 deduped tables carry fp but no fp64: the evolved scan
+    // null-fills the column, so the IN-branch row filter would drop every
+    // legacy corpus row from `present` and silently re-admit duplicates
+    // (round-6 review). The metadata gate must detect the stats-less files
+    // and route the turn through the fp semi-join, which legacy files
+    // satisfy.
+    val dd = tmpDir("probe_legacy")
+    val dlog = new SnapshotLog(dd)
+    def extractedDF(lo: Int, hi: Int) =
+      spark.createDataset((lo until hi).map(i => Schemas.Extracted(
+        s"https://legacy/$i", i % 8, "html",
+        Seq(s"legacy text body $i"), s"legacy text body $i", 10L + i, i.toLong))).toDF()
+    val stage = dlog.stageUniqueDataDir()
+    extractedDF(0, 100)
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .repartition(4).write.mode("overwrite").parquet(stage)
+    dlog.commitOptimistic(stage, statsColumns = Seq("bucket"))
+    assert(dlog.metaAt(dlog.currentSnapshot().get)
+      .exists(!_.stats.contains("fp64")), "fixture must look pre-fp64")
+    // IN-branch-sized batch: 10 already-committed texts + 10 new ones
+    val (_, n) = Pipelines.appendDeduped(spark, extractedDF(90, 110), dd)
+    assert(n == 10L, s"only the 10 new texts may land, got $n")
+    val all = dlog.scan(spark, Pipelines.dedupedSchema)
+    assert(all.count() == 110L)
+    assert(all.select("fp").distinct().count() == 110L,
+      "every digest must appear exactly once after the mixed-layout append")
+  }
+
   test("compact racing a concurrent optimistic appender never drops committed rows") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("compact_race")
