@@ -80,7 +80,15 @@ object PlanAudit {
           "the signature subtree feeds the hot-bucket aggregate and both self-join " +
           "sides — round 2 recomputed scan + tokenize + simhash 3x. Blocks derived " +
           "from maxHamming (pigeonhole recall); production calls materialize the " +
-          "pair set and unpersist."))
+          "pair set and unpersist."),
+      "pipeline_dedup_turn" ->
+        ("The round-6 INVERTED incremental-dedup probe (one pipeline turn against a " +
+          "committed deduped corpus): the corpus scan reads only (fp, fp64) over a " +
+          "ManifestFileIndex with the batch's fp64 digests pushed as an IN filter " +
+          "(PushedFilters + manifest file skipping on the range-clustered layout), " +
+          "and NO Exchange appears anywhere above the corpus scan — the batch side " +
+          "broadcasts instead. Round 5 sort-merge-anti-joined the batch against the " +
+          "corpus, shuffling the full accumulated digest column every turn."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.PlanAudit)\n\n")
@@ -118,6 +126,21 @@ object PlanAudit {
           docs.unionByName(exact), "doc_id", "text", maxHamming = 3)
         caches += sigs
         pairs.orderBy("a", "b")
+      },
+      "pipeline_dedup_turn" -> {
+        import spark.implicits._
+        def batch(lo: Int, hi: Int) =
+          spark.createDataset((lo until hi).map { i =>
+            val t = s"audit text body $i"
+            graft.spark.Schemas.Extracted(s"https://audit/$i", i % 8, "html",
+              Seq(t), t, 10L + i, i.toLong)
+          }).toDF()
+        val dd = Files.createTempDirectory("plan_audit_dd").toString
+        graft.spark.Pipelines.appendDeduped(spark, batch(0, 400), dd)
+        val (survivors, reps) =
+          graft.spark.Pipelines.probeSurvivors(spark, batch(390, 410), dd)
+        caches += reps
+        survivors
       })
     for (name <- notes.keys.toSeq.sorted) {
       val df = lazyOverrides.getOrElse(name, SparkEntry.queries(name)(spark, sfDir))
@@ -125,8 +148,11 @@ object PlanAudit {
       // "formatted" explain, captured
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      sb.append(plan.take(6000))
-      if (plan.length > 6000) sb.append("\n... (truncated)\n")
+      // 14k keeps every section's scan-node detail (Location/PushedFilters/
+      // ReadSchema — the actual evidence) inside the dump; 6k cut the
+      // pipeline probe's corpus scan node off
+      sb.append(plan.take(14000))
+      if (plan.length > 14000) sb.append("\n... (truncated)\n")
       sb.append("```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.spark.{ManifestEntry, ManifestFileIndex, Pipelines, Schemas, SnapshotLog}
+
+/** Scale evidence for the round-6 inverted dedup probe: per-turn cost of the
+  * steady-state pipeline turn (a batch that is entirely duplicates — probe
+  * runs, nothing commits) as the accumulated deduped corpus grows 1× → 4× →
+  * 16× → 64×, against the ROUND-5 shape (batch anti-joined against the
+  * corpus's full digest column) timed over the same corpus.
+  *
+  * The claim under test: the inverted probe is O(batch) per turn — seconds
+  * stay near-flat as the corpus grows, because the corpus side never
+  * shuffles and, on a digest-clustered layout, the manifest's per-file fp64
+  * bounds prune the scan to the files that can hold a batch digest at all —
+  * while the round-5 anti-join is O(corpus) per turn (the full digest column
+  * rides a sort-merge exchange every time). Also prints the file-skipping
+  * the batch's IN probe plans, from the same ManifestFileIndex the query
+  * uses.
+  *
+  * The corpus is seeded as ONE range-clustered commit per mult — the exact
+  * layout `compact(sortBy = fp64)` maintains on a real table — with per-file
+  * (bucket, fp64) bounds, so the probe runs against the documented long-term
+  * layout rather than a lucky fresh one.
+  *
+  * `runMain graft.TurnProbe [cpus] [baseRows] [batchRows]` — results recorded
+  * in BASELINE.md.
+  */
+object TurnProbe {
+
+  /** Distributed builder of extracted-schema rows with deterministic texts. */
+  private def extractedRange(spark: SparkSession, lo: Long, hi: Long): DataFrame =
+    spark.range(lo, hi).select(
+      concat(lit("https://turn/"), col("id")).as("url"),
+      (col("id") % 32).cast("int").as("bucket"),
+      lit("html").as("kind"),
+      array(concat(lit("probe text body "), col("id"))).as("pages"),
+      concat(lit("probe text body "), col("id")).as("text"),
+      (col("id") + 10L).as("n_bytes"),
+      col("id").as("checksum"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.length > 0) args(0).toInt else 16
+    val baseRows = if (args.length > 1) args(1).toLong else 400000L
+    val batchRows = if (args.length > 2) args(2).toInt else 2000
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+      f.delete(): Unit
+    }
+
+    for (mult <- Seq(1, 4, 16, 64)) {
+      val total = baseRows * mult
+      val dd = s"/root/repo/target/turn_probe_$mult"
+      rmrf(new java.io.File(dd))
+      val dlog = new SnapshotLog(dd)
+      val stage = dlog.stageUniqueDataDir()
+      extractedRange(spark, 0L, total)
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .withColumn("fp64", Pipelines.fp64Of(col("fp")))
+        .repartitionByRange(8 * mult, col("fp64"))
+        .write.mode("overwrite").parquet(stage)
+      dlog.commitOptimistic(stage, statsColumns = Seq("bucket", "fp64"))
+
+      // steady-state turn: every batch text already committed, spread across
+      // the whole id range so its digests land in many distinct files
+      val stride = math.max(1L, total / batchRows)
+      val batchIds = (0 until batchRows).map(i => (i * stride) % total)
+      val batch = extractedRange(spark, 0L, total)
+        .filter(col("checksum").isin(batchIds.distinct.map(Long.box): _*))
+        .persist()
+      require(batch.count() == batchIds.distinct.size.toLong)
+
+      def time3(body: => Long): (Double, Seq[Double], Long) = {
+        var last = 0L
+        last = body // warm-up
+        val secs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); last = body
+          (System.nanoTime() - t0) / 1e9
+        }
+        (secs.min, secs, last)
+      }
+
+      // round-6 shape: the full turn through the public API (probe + empty
+      // stage + no commit: appendDeduped returns rows=0 on an all-dup batch)
+      val (newSec, newSpread, appended) =
+        time3(Pipelines.appendDeduped(spark, batch, dd)._2)
+      require(appended == 0L, s"steady-state turn must append nothing, got $appended")
+
+      // round-5 shape on the same corpus: anti-join the batch's digest reps
+      // against the corpus digest column (the build side of a left-anti can
+      // never broadcast -> sort-merge join, full corpus digest shuffle)
+      val (oldSec, oldSpread, oldSurv) = time3 {
+        val reps = batch
+          .withColumn("fp", md5(col("text").cast("binary")))
+          .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+            .Window.partitionBy(col("fp")).orderBy(col("url"))))
+          .filter(col("rn") === 1).drop("rn")
+        val corpus = dlog.scan(spark, Pipelines.dedupedSchema).select("fp")
+        reps.join(corpus, Seq("fp"), "left_anti").count()
+      }
+      require(oldSurv == 0L, s"old-shape survivors must be 0, got $oldSurv")
+
+      // file skipping the batch's fp64 IN probe plans, via the same
+      // ManifestFileIndex the scan uses (strict subset = pruning is live)
+      val meta = dlog.metaAt(dlog.currentSnapshot().get)
+      val idx = new ManifestFileIndex(dd,
+        meta.map(m => ManifestEntry(m.path, m.size.getOrElse(0L), m.stats)))
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
+      val fpLits = batchIds.distinct.map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"probe text body $i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        Literal(java.lang.Long.parseLong(hex.take(15), 16))
+      }
+      def plannedFor(lits: Seq[Literal]): Int =
+        idx.listFiles(Nil, Seq(In(
+          AttributeReference("fp64", org.apache.spark.sql.types.LongType)(),
+          lits))).map(_.files.size).sum
+      // the full batch's digests are md5-uniform, so at batch >> files every
+      // file's range is hit — manifest skipping is the SMALL-batch win
+      // (interactive upserts, low-rate streaming ticks); the big-batch win is
+      // the shuffle-free corpus side. Both planned counts ride the artifact.
+      val planned = plannedFor(fpLits)
+      val planned16 = plannedFor(fpLits.take(16))
+
+      println(f"mult=$mult%2d rows=$total%8d files=${meta.size}%4d " +
+        f"planned=$planned%4d planned16=$planned16%3d  turn_new=${newSec}%6.3f s " +
+        f"(${newSpread.map(s => f"$s%.3f").mkString(",")})  " +
+        f"antijoin_old=${oldSec}%6.3f s " +
+        f"(${oldSpread.map(s => f"$s%.3f").mkString(",")})")
+      batch.unpersist()
+    }
+    spark.stop()
+  }
+}

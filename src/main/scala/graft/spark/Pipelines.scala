@@ -253,6 +253,18 @@ object Pipelines {
     (survivors, reps)
   }
 
+  /** Audit surface: the per-turn survivors DataFrame for `fresh` against the
+    * CURRENT deduped snapshot, without committing — what PlanAudit dumps to
+    * PLANS.md so the no-corpus-exchange claim is inspectable, not just
+    * test-asserted. Returns (survivors, persisted reps handle — unpersist it
+    * once the plan/result is consumed).
+    */
+  def probeSurvivors(spark: SparkSession, fresh: DataFrame,
+      dedupedDir: String): (DataFrame, DataFrame) = {
+    val dlog = new SnapshotLog(dedupedDir)
+    dedupSurvivors(spark, fresh, dlog, dlog.currentSnapshot())
+  }
+
   /** How many range partitions (≈ files) a deduped append commit clusters
     * into. More files = finer fp64 ranges = sharper probe pruning, at the
     * cost of file count; [[SnapshotLog.compact]] with `sortBy = fp64` is the
