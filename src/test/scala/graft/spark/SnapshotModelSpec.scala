@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Model-based fuzz of the full snapshot-table lifecycle: a SEEDED random
   * sequence of operations (append commit, replace commit, compaction,
   * expire, orphan sweep, staged-then-aborted write, crashed stage residue,
-  * copy-on-write delete, copy-on-write upsert)
+  * copy-on-write delete, copy-on-write upsert, stream-marker register/drop)
   * runs against a real SnapshotLog while a driver-side model tracks the
   * expected row CONTENT of every retained snapshot. After every operation
   * the table scan must equal the model exactly, and retained history must
@@ -40,10 +40,13 @@ class SnapshotModelSpec extends AnyFunSuite with BeforeAndAfterAll {
     var current = Seq.empty[Long]
     var history = Map.empty[Long, Seq[Long]]
     var nextId = 1000L // id pool for fresh rows
+    // registered stream markers (C25): streamId -> committed offset; expire
+    // must clamp retention to the laggiest one
+    var markers = Map.empty[String, Long]
 
     var ops = 0
     for (step <- 1 to 40) {
-      val op = rnd.nextInt(13)
+      val op = rnd.nextInt(15)
       op match {
         case 0 | 1 | 2 | 3 => // append commit of 1-20 fresh rows; op 3 goes
           // through the optimistic path (unique staging dir, id allocated at
@@ -93,10 +96,19 @@ class SnapshotModelSpec extends AnyFunSuite with BeforeAndAfterAll {
               // operator remedy (abort the dead stage) and move on
               log.abort(log.nextSnapshotId())
           }
-        case 6 => // expire: drops old history, keeps content
+        case 6 => // expire: drops old history, keeps content; registered
+          // stream markers clamp it (C25) — every snapshot at-or-after the
+          // laggiest committed offset must survive (-1 pins everything)
           val keep = 1 + rnd.nextInt(3)
+          val before = log.snapshots()
           log.expireSnapshots(keep)
           val retained = log.snapshots().toSet
+          markers.values.minOption.foreach { floor =>
+            val pinned = before.filter(_ >= floor)
+            assert(pinned.forall(retained),
+              s"step $step: expire reclaimed marker-pinned snapshots " +
+                s"(floor=$floor, before=$before, retained=$retained)")
+          }
           history = history.view.filterKeys(retained).toMap
         case 7 => // orphan sweep (age gate keeps everything fresh — no-op on content)
           log.removeOrphanFiles(minAgeMs = 3600000L): Unit
@@ -146,6 +158,21 @@ class SnapshotModelSpec extends AnyFunSuite with BeforeAndAfterAll {
                 // crashed-stage residue occupies the next id — same remedy
                 log.abort(log.nextSnapshotId())
             }
+          }
+        case 13 => // register/refresh a stream marker at a random offset
+          // (-1 = registered before any batch committed: pins all history)
+          val sid = s"s${rnd.nextInt(3)}"
+          val snaps = log.snapshots()
+          val committed =
+            if (snaps.isEmpty || rnd.nextInt(4) == 0) -1L
+            else snaps(rnd.nextInt(snaps.size))
+          log.registerStreamProgress(sid, committed, s"model-fuzz step $step")
+          markers += sid -> committed
+        case 14 => // decommission a random registered stream
+          if (markers.nonEmpty) {
+            val sid = markers.keys.toSeq.sorted.apply(rnd.nextInt(markers.size))
+            assert(log.dropStreamMarker(sid), s"step $step: marker $sid lost")
+            markers -= sid
           }
       }
       ops += 1
