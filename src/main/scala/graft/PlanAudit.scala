@@ -101,6 +101,7 @@ object PlanAudit {
     // THIS caller can release it once the plans are dumped (the round-3
     // materialize=false flag returned only the plan — nothing to unpersist)
     val caches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    val tmpTables = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
     val lazyOverrides: Map[String, org.apache.spark.sql.DataFrame] = Map(
       "t07_neardup_pairs" -> {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -135,10 +136,11 @@ object PlanAudit {
             graft.spark.Schemas.Extracted(s"https://audit/$i", i % 8, "html",
               Seq(t), t, 10L + i, i.toLong)
           }).toDF()
-        val dd = Files.createTempDirectory("plan_audit_dd").toString
-        graft.spark.Pipelines.appendDeduped(spark, batch(0, 400), dd)
+        val dd = Files.createTempDirectory("plan_audit_dd")
+        tmpTables += dd // deleted after the dump (repeated runs must not leak)
+        graft.spark.Pipelines.appendDeduped(spark, batch(0, 400), dd.toString)
         val (survivors, reps) =
-          graft.spark.Pipelines.probeSurvivors(spark, batch(390, 410), dd)
+          graft.spark.Pipelines.probeSurvivors(spark, batch(390, 410), dd.toString)
         caches += reps
         survivors
       })
@@ -158,6 +160,11 @@ object PlanAudit {
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")
     caches.foreach(_.unpersist(false)) // plans dumped; release the audit caches
+    for (dir <- tmpTables) { // and the throwaway audit tables
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
     spark.stop()
   }
 }

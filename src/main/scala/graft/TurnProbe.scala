@@ -58,8 +58,12 @@ object TurnProbe {
 
     for (mult <- Seq(1, 4, 16, 64)) {
       val total = baseRows * mult
-      val dd = s"/root/repo/target/turn_probe_$mult"
+      // CWD-relative (run from the repo root like every sbt runMain); the
+      // largest corpus is multiple GB, so each iteration cleans up after
+      // itself in the finally below
+      val dd = s"target/turn_probe_$mult"
       rmrf(new java.io.File(dd))
+      try {
       val dlog = new SnapshotLog(dd)
       val stage = dlog.stageUniqueDataDir()
       extractedRange(spark, 0L, total)
@@ -114,12 +118,13 @@ object TurnProbe {
       val idx = new ManifestFileIndex(dd,
         meta.map(m => ManifestEntry(m.path, m.size.getOrElse(0L), m.stats)))
       import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
-      val fpLits = batchIds.distinct.map { i =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"probe text body $i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        Literal(java.lang.Long.parseLong(hex.take(15), 16))
-      }
+      // digests derived through the SAME fp/fp64 definition the probe pushes
+      // (a hand-rolled MD5 copy here would silently diverge from fp64Of and
+      // fake the published skipping numbers — round-6 review)
+      val fpLits = batch
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .select(Pipelines.fp64Of(col("fp")).as("fp64")).distinct()
+        .collect().map(r => Literal(r.getLong(0))).toIndexedSeq
       def plannedFor(lits: Seq[Literal]): Int =
         idx.listFiles(Nil, Seq(In(
           AttributeReference("fp64", org.apache.spark.sql.types.LongType)(),
@@ -137,6 +142,7 @@ object TurnProbe {
         f"antijoin_old=${oldSec}%6.3f s " +
         f"(${oldSpread.map(s => f"$s%.3f").mkString(",")})")
       batch.unpersist()
+      } finally rmrf(new java.io.File(dd))
     }
     spark.stop()
   }

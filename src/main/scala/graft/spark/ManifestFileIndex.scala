@@ -27,14 +27,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *     Catalyst string literals.
   */
 sealed trait ColBounds {
+  /** True when the footer PROVED the file's column holds zero nulls (every
+    * row group's null count recorded and 0). False means "nulls possible" —
+    * the conservative reading for hand-built entries and for stats written
+    * before round 6 recorded the marker. Consumers may treat a
+    * noNulls-proven file as refuting `IS NULL` (and, at table granularity,
+    * an every-file-noNulls column as having no null rows at all — what the
+    * dedup probe's IN-branch gate needs: bounds alone can't see a null-
+    * filled legacy row that a rewrite carried into a stats-bearing file).
+    */
+  def noNulls: Boolean
+
   /** The long view, for consumers that only deal in numeric ranges. */
   def longs: Option[(Long, Long)] = this match {
-    case LongBounds(mn, mx) => Some((mn, mx))
+    case LongBounds(mn, mx, _) => Some((mn, mx))
     case _ => None
   }
 }
-final case class LongBounds(min: Long, max: Long) extends ColBounds
-final case class StrBounds(minHex: String, maxHex: Option[String]) extends ColBounds
+final case class LongBounds(min: Long, max: Long,
+    noNulls: Boolean = false) extends ColBounds
+final case class StrBounds(minHex: String, maxHex: Option[String],
+    noNulls: Boolean = false) extends ColBounds
 
 object ColBounds {
   val StringTruncateBytes = 16
@@ -160,9 +173,9 @@ final class ManifestFileIndex(tableRoot: String, entries: Seq[ManifestEntry])
     // (min cmp literal, max cmp literal — None = open bound); outer None =
     // no stats / unsupported literal type = never prune
     def signs(b: ColBounds, raw: Any): Option[(Int, Option[Int])] = (b, raw) match {
-      case (LongBounds(mn, mx), v) => longOf(v).map(x =>
+      case (LongBounds(mn, mx, _), v) => longOf(v).map(x =>
         (java.lang.Long.compare(mn, x), Some(java.lang.Long.compare(mx, x))))
-      case (StrBounds(mn, mx), s: UTF8String) =>
+      case (StrBounds(mn, mx, _), s: UTF8String) =>
         val v = s.getBytes
         Some((ColBounds.cmpBytes(ColBounds.unhex(mn), v),
           mx.map(h => ColBounds.cmpBytes(ColBounds.unhex(h), v))))
@@ -188,6 +201,10 @@ final class ManifestFileIndex(tableRoot: String, entries: Seq[ManifestEntry])
     f match {
       case And(a, b) => mayMatch(stats, a) && mayMatch(stats, b)
       case Or(a, b) => mayMatch(stats, a) || mayMatch(stats, b)
+      // a file PROVEN null-free (round-6 `z` marker: every row group's null
+      // count recorded and 0) cannot satisfy IS NULL; unproven = keep
+      case IsNull(a: AttributeReference) =>
+        stats.get(a.name).forall(!_.noNulls)
       case EqualTo(a, l: Literal) => eqOk(a, l)
       case EqualTo(l: Literal, a) => eqOk(a, l)
       case GreaterThan(a, l: Literal) => gtOk(a, l)

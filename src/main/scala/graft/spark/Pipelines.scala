@@ -221,19 +221,26 @@ object Pipelines {
     // anyway (its rows always survive: SQL null joins nothing).
     val batchFps = reps.select("fp64").filter(col("fp64").isNotNull).distinct()
       .limit(probeFilterLimit + 1).collect().map(_.getLong(0))
-    val corpus = dlog.scan(spark, dedupedSchema, asOf = base)
-    // IN-branch soundness gate: a pre-fp64 (round-5) corpus file null-fills
-    // the column under the evolved schema, so a row-level `fp64 IN (...)`
-    // would drop its rows and silently re-admit duplicates. `fp64 IS NULL OR
-    // fp64 IN (...)` would be row-correct but file-skipping-dead (IsNull is
-    // not stats-refutable, so the Or keeps every file). The gate is pure
-    // metadata, read driver-side: every corpus file carrying fp64 BOUNDS
-    // implies no legacy files (the round-6 writer always records them), so
-    // the plain IN is sound AND prunes; any stats-less file degrades the
-    // turn to the semi-join branch, which probes the full `fp` column legacy
-    // files do carry (compact sortBy=fp64 upgrades the layout for good).
-    lazy val fp64Complete = base.exists(b =>
-      dlog.metaAt(b).forall(_.stats.contains("fp64")))
+    // ONE metadata sweep feeds both the scan and the gate below (metaAt
+    // twice per turn = O(segments) extra object-store GETs — round-6 review)
+    val corpusMeta = base.map(dlog.metaAt).getOrElse(Seq.empty)
+    val corpus = dlog.scanEntries(spark, dedupedSchema, corpusMeta)
+    // IN-branch soundness gate: a null fp64 row (a pre-fp64 round-5 file
+    // null-filled by schema evolution — or such rows CARRIED INTO a fresh
+    // stats-bearing file by compact/delete/upsert rewrites, which never
+    // recompute columns) would be dropped by a row-level `fp64 IN (...)`,
+    // silently re-admitting its text as a duplicate. `fp64 IS NULL OR IN`
+    // would be row-correct but file-skipping-dead (the Or keeps every file
+    // whose nulls aren't disproven). The gate is pure metadata, from the
+    // sweep above: the IN branch requires every corpus file to carry fp64
+    // bounds WITH the proven-zero-nulls marker (footer null counts, round
+    // 6) — bounds presence alone was unsound, a rewrite gives a boundary
+    // file bounds over its non-null values while legacy null rows ride
+    // along (round-6 review, second pass). Anything unproven degrades the
+    // turn to the semi-join branch, which probes the full `fp` column that
+    // every file generation carries.
+    lazy val fp64Complete = corpusMeta.nonEmpty &&
+      corpusMeta.forall(_.stats.get("fp64").exists(_.noNulls))
     // the corpus digests this batch could collide with: ≤ batch-sized output
     // (fp64 is a prefix of fp, so the IN filter over-approximates but never
     // misses; the join on the full fp is what decides)

@@ -217,24 +217,34 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         val size = if (parts.length >= 3) parts(2).toLong else -1L
         val stats = parts.drop(3).flatMap { f =>
           f.split('=') match {
-            // string bounds: `col=s:<hexmin>..<hexmax|*>` (`*` = no finite
-            // upper bound — all-0xFF truncated prefix); hex never contains
+            // string bounds: `col=s:<hexmin>..<hexmax|*>[..z]` (`*` = no
+            // finite upper bound — all-0xFF truncated prefix; trailing `..z`
+            // = PROVEN zero nulls in the file, round 6); hex never contains
             // '.' so the `..` split is unambiguous, and `-1` keeps the empty
-            // min of an empty-string lower bound
+            // min of an empty-string lower bound. Absence of the marker
+            // reads as "nulls possible" — the conservative default old
+            // entries get for free.
             case Array(c, v) if v.startsWith("s:") =>
-              v.stripPrefix("s:").split("\\.\\.", -1) match {
+              val (body, z) = {
+                val raw = v.stripPrefix("s:")
+                if (raw.endsWith("..z")) (raw.dropRight(3), true) else (raw, false)
+              }
+              body.split("\\.\\.", -1) match {
                 case Array(mn, mx) if mn.length % 2 == 0 &&
                     mn.forall(h => h.isDigit || (h >= 'a' && h <= 'f')) =>
-                  if (mx == "*") Some(c -> StrBounds(mn, None))
+                  if (mx == "*") Some(c -> StrBounds(mn, None, z))
                   else if (mx.length % 2 == 0 && mx.nonEmpty &&
                       mx.forall(h => h.isDigit || (h >= 'a' && h <= 'f')))
-                    Some(c -> StrBounds(mn, Some(mx)))
+                    Some(c -> StrBounds(mn, Some(mx), z))
                   else None
                 case _ => None
               }
             case Array(c, range) => range.split("\\.\\.") match {
               case Array(mn, mx) =>
                 try Some(c -> LongBounds(mn.toLong, mx.toLong))
+                catch { case _: NumberFormatException => None }
+              case Array(mn, mx, "z") =>
+                try Some(c -> LongBounds(mn.toLong, mx.toLong, noNulls = true))
                 catch { case _: NumberFormatException => None }
               case _ => None
             }
@@ -492,8 +502,10 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
       io.writeAtomic(seg, segmentFiles.map { case (f, sz, stats) =>
         s"file\t$f\t$sz" + stats.toSeq.sortBy(_._1)
           .map {
-            case (c, LongBounds(mn, mx)) => s"\t$c=$mn..$mx"
-            case (c, StrBounds(mn, mx)) => s"\t$c=s:$mn..${mx.getOrElse("*")}"
+            case (c, LongBounds(mn, mx, z)) =>
+              s"\t$c=$mn..$mx" + (if (z) "..z" else "")
+            case (c, StrBounds(mn, mx, z)) =>
+              s"\t$c=s:$mn..${mx.getOrElse("*")}" + (if (z) "..z" else "")
           }.mkString
       }.mkString("", "\n", "\n"))
       parentSegments :+ io.relativize(seg)
@@ -541,20 +553,25 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
             _.getColumns.asScala.find(_.getPath.toDotString == c) match {
               case Some(cc) if cc.getStatistics != null &&
                   cc.getStatistics.hasNonNullValue =>
-                SnapshotLog.statBounds(cc.getPrimitiveType, cc.getStatistics)
+                // noNulls only when the row group RECORDS a zero null count
+                // — unset counts read as "nulls possible", never as proof
+                SnapshotLog.statBounds(cc.getPrimitiveType, cc.getStatistics,
+                  noNulls = cc.getStatistics.isNumNullsSet &&
+                    cc.getStatistics.getNumNulls == 0L)
               case _ => None
             })
           if (blocks.isEmpty || perBlock.exists(_.isEmpty)) None
           else perBlock.flatten.reduceLeftOption[ColBounds] {
-            case (LongBounds(a1, a2), LongBounds(b1, b2)) =>
-              LongBounds(math.min(a1, b1), math.max(a2, b2))
-            case (StrBounds(a1, a2), StrBounds(b1, b2)) =>
+            case (LongBounds(a1, a2, z1), LongBounds(b1, b2, z2)) =>
+              LongBounds(math.min(a1, b1), math.max(a2, b2), z1 && z2)
+            case (StrBounds(a1, a2, z1), StrBounds(b1, b2, z2)) =>
               StrBounds(
                 if (ColBounds.cmpBytes(ColBounds.unhex(a1),
                   ColBounds.unhex(b1)) <= 0) a1 else b1,
                 for (x <- a2; y <- b2) yield
                   if (ColBounds.cmpBytes(ColBounds.unhex(x),
-                    ColBounds.unhex(y)) >= 0) x else y)
+                    ColBounds.unhex(y)) >= 0) x else y,
+                z1 && z2)
             case (a, _) => a // mixed families cannot happen within one column
           }.map(c -> _)
         }.toMap
@@ -1480,11 +1497,21 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     */
   def scan(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType,
-      asOf: Option[Long] = None): org.apache.spark.sql.DataFrame = {
-    val entries = asOf.orElse(currentSnapshot()) match {
+      asOf: Option[Long] = None): org.apache.spark.sql.DataFrame =
+    scanEntries(spark, schema, asOf.orElse(currentSnapshot()) match {
       case Some(id) => metaAt(id)
       case None => Seq.empty
-    }
+    })
+
+  /** [[scan]] over ALREADY-READ manifest metadata — for callers that need the
+    * entries themselves (stats gates, file accounting) AND a scan of the same
+    * snapshot: one metadata sweep feeds both instead of metaAt running twice
+    * per use (round-6 review; on an object store the second sweep is
+    * O(segments) extra GETs per call).
+    */
+  def scanEntries(spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      entries: Seq[SnapshotLog.FileMeta]): org.apache.spark.sql.DataFrame = {
     if (entries.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else if (entries.forall(_.size.isDefined))
@@ -1521,7 +1548,8 @@ object SnapshotLog {
     * longs. BINARY-UTF8 records truncated byte-wise string bounds.
     */
   private[spark] def statBounds(pt: org.apache.parquet.schema.PrimitiveType,
-      s: org.apache.parquet.column.statistics.Statistics[_]): Option[ColBounds] = {
+      s: org.apache.parquet.column.statistics.Statistics[_],
+      noNulls: Boolean = false): Option[ColBounds] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     def asLong(v: Any): Option[Long] = v match {
@@ -1552,7 +1580,7 @@ object SnapshotLog {
         }
         for (f <- scale; mn <- asLong(s.genericGetMin(): Any);
              mx <- asLong(s.genericGetMax(): Any))
-          yield LongBounds(f(mn), f(mx))
+          yield LongBounds(f(mn), f(mx), noNulls)
       case BINARY if pt.getLogicalTypeAnnotation
           .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         (s.genericGetMin(): Any, s.genericGetMax(): Any) match {
@@ -1560,7 +1588,8 @@ object SnapshotLog {
                 mx: org.apache.parquet.io.api.Binary) =>
             Some(StrBounds(
               ColBounds.hex(ColBounds.strLower(mn.getBytes)),
-              ColBounds.strUpper(mx.getBytes).map(ColBounds.hex)))
+              ColBounds.strUpper(mx.getBytes).map(ColBounds.hex),
+              noNulls))
           case _ => None
         }
       case _ => None

@@ -1496,6 +1496,46 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every digest must appear exactly once after the mixed-layout append")
   }
 
+  test("dedup probe after compacting a mixed legacy corpus never re-admits duplicates") {
+    val sp = spark; import sp.implicits._
+    // the second-pass review trap: legacy (fp-only) rows survive a
+    // compact(sortBy=fp64) with NULL fp64 — the rewrite never recomputes
+    // columns — but land range-clustered next to the smallest non-null
+    // digests, so their file gets fp64 BOUNDS (parquet stats cover non-null
+    // values only). Gating the IN branch on bounds PRESENCE alone flipped
+    // true here and silently re-admitted legacy texts; the gate must demand
+    // the proven-zero-nulls marker and fall back to the fp semi-join.
+    val dd = tmpDir("probe_legacy_compact")
+    val dlog = new SnapshotLog(dd)
+    def extractedDF(lo: Int, hi: Int) =
+      spark.createDataset((lo until hi).map(i => Schemas.Extracted(
+        s"https://legacy/$i", i % 8, "html",
+        Seq(s"legacy text body $i"), s"legacy text body $i", 10L + i, i.toLong))).toDF()
+    val stage = dlog.stageUniqueDataDir()
+    extractedDF(0, 20) // legacy minority: round-5 layout, fp only
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .repartition(2).write.mode("overwrite").parquet(stage)
+    dlog.commitOptimistic(stage, statsColumns = Seq("bucket"))
+    assert(Pipelines.appendDeduped(spark, extractedDF(20, 200), dd)._2 == 180L)
+    dlog.compact(spark, Pipelines.dedupedSchema, targetFiles = 4,
+      statsColumns = Seq("bucket", "fp64"), sortBy = Seq("fp64"))
+    val meta = dlog.metaAt(dlog.currentSnapshot().get)
+    // the trap must actually manifest: every file carries fp64 bounds, yet
+    // at least one holds null-fp64 legacy rows (and is therefore unproven)
+    assert(meta.forall(_.stats.contains("fp64")),
+      s"fixture must put fp64 bounds on every compacted file: $meta")
+    assert(meta.exists(!_.stats("fp64").noNulls),
+      "the boundary file holding legacy nulls must read as nulls-possible")
+    // 10 legacy dups + 10 fresh: only the fresh may land
+    val batch = extractedDF(10, 20).unionByName(extractedDF(200, 210))
+    val (_, n) = Pipelines.appendDeduped(spark, batch, dd)
+    assert(n == 10L, s"only the 10 new texts may land, got $n")
+    val all = dlog.scan(spark, Pipelines.dedupedSchema)
+    assert(all.count() == 210L)
+    assert(all.select("fp").distinct().count() == 210L,
+      "every digest must appear exactly once after the post-compact append")
+  }
+
   test("compact racing a concurrent optimistic appender never drops committed rows") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("compact_race")

@@ -248,6 +248,19 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(files(EqualTo(bucketAttr, Literal(9))).isEmpty, "out of range -> zero files")
     // conservative shapes never prune
     assert(files(IsNotNull(bucketAttr)).size == 4)
+    // IS NULL: refuted only by the proven-zero-nulls marker (round 6) — the
+    // fixture's bucket column has no nulls, so footer counts prove all four
+    assert(meta.forall(_.stats("bucket").noNulls),
+      "footer null counts must prove the null-free column")
+    assert(files(IsNull(bucketAttr)).isEmpty,
+      "IS NULL on a proven null-free column -> zero files")
+    val idxUnproven = new ManifestFileIndex(dir,
+      meta.map(m => ManifestEntry(m.path, m.size.get,
+        m.stats.map { case (c, LongBounds(mn, mx, _)) => c -> LongBounds(mn, mx)
+                      case kv => kv })))
+    assert(idxUnproven.listFiles(Nil, Seq(IsNull(bucketAttr)))
+      .flatMap(_.files).size == 4,
+      "IS NULL without the proof marker keeps every file")
     val otherAttr = AttributeReference("id", org.apache.spark.sql.types.LongType)()
     assert(files(EqualTo(otherAttr, Literal(-1L))).size == 4,
       "stats exist only for bucket — id filters keep every file") // id stats not recorded
@@ -452,7 +465,7 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // url is longer than the 16-byte truncation: lower/upper bounds present
     // (upper incremented), pruning stays sound below
     assert(meta.forall(_.stats.get("url").exists {
-      case StrBounds(mn, mx) => mn.length == 32 && mx.isDefined
+      case StrBounds(mn, mx, _) => mn.length == 32 && mx.isDefined
       case _ => false
     }), s"url must record truncated string bounds: $meta")
 
