@@ -320,11 +320,7 @@ object Bench {
         try {
           import spark.implicits._
           val workDir = new java.io.File("/root/repo/target/bench_pipeline")
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(): Unit
-          }
-          rm(workDir) // fresh tables: turn 0 is the seeding turn
+          SparkEntry.deleteRecursively(workDir) // fresh: turn 0 seeds
           val table = s"$workDir/extracted"; val dd = s"$workDir/deduped"
           val pages = spark.read.schema(graft.spark.Schemas.pagesSchema)
             .parquet(pagesPath).as[graft.spark.Schemas.Page]

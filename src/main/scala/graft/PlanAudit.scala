@@ -102,6 +102,7 @@ object PlanAudit {
     // materialize=false flag returned only the plan — nothing to unpersist)
     val caches = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     val tmpTables = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    try {
     val lazyOverrides: Map[String, org.apache.spark.sql.DataFrame] = Map(
       "t07_neardup_pairs" -> {
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -160,11 +161,12 @@ object PlanAudit {
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"wrote PLANS.md (${sb.length} chars)")
     caches.foreach(_.unpersist(false)) // plans dumped; release the audit caches
-    for (dir <- tmpTables) { // and the throwaway audit tables
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(p => Files.deleteIfExists(p))
+    } finally {
+      // throwaway audit tables go even when a dump step throws — the leak
+      // this cleanup exists for was reintroduced by a success-path-only
+      // delete (round-6 review, third pass)
+      tmpTables.foreach(p => SparkEntry.deleteRecursively(p.toFile))
+      spark.stop()
     }
-    spark.stop()
   }
 }

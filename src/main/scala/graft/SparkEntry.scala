@@ -27,8 +27,12 @@ object SparkEntry {
     SearchJob.matches(extracted, SearchParams(any = Some("data")))
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+  /** ONE recursive delete for the package's dev mains (Bench, TurnProbe,
+    * PlanAudit, this entry) — three divergent copies is how a symlink or
+    * IO-policy fix lands in one and not the others (round-6 review).
+    */
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
 

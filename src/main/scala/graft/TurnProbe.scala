@@ -51,10 +51,7 @@ object TurnProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
-      f.delete(): Unit
-    }
+    def rmrf(f: java.io.File): Unit = SparkEntry.deleteRecursively(f)
 
     for (mult <- Seq(1, 4, 16, 64)) {
       val total = baseRows * mult
@@ -121,10 +118,13 @@ object TurnProbe {
       // digests derived through the SAME fp/fp64 definition the probe pushes
       // (a hand-rolled MD5 copy here would silently diverge from fp64Of and
       // fake the published skipping numbers — round-6 review)
+      // sorted: distinct().collect() order is partition-scheduling dependent
+      // and planned16's take(16) must sample the SAME digests every run for
+      // the BASELINE.md numbers to be reproducible
       val fpLits = batch
         .withColumn("fp", md5(col("text").cast("binary")))
         .select(Pipelines.fp64Of(col("fp")).as("fp64")).distinct()
-        .collect().map(r => Literal(r.getLong(0))).toIndexedSeq
+        .collect().map(_.getLong(0)).sorted.map(Literal(_)).toIndexedSeq
       def plannedFor(lits: Seq[Literal]): Int =
         idx.listFiles(Nil, Seq(In(
           AttributeReference("fp64", org.apache.spark.sql.types.LongType)(),

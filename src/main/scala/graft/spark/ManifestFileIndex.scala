@@ -119,7 +119,9 @@ final case class ManifestEntry(path: String, size: Long,
   * read every file's footer for any filter). Pruning is strictly
   * conservative: unknown columns, filter shapes, or literal types keep the
   * file; min/max bound only NON-NULL values, which is sound because every
-  * pruned predicate is null-rejecting.
+  * bounds-pruned predicate is null-rejecting — the one null-SENSITIVE shape
+  * handled, `IS NULL`, prunes from the separate proven-zero-nulls marker
+  * (round 6), never from bounds.
   *
   * Flat layout (no partition columns): the snapshot's bucket structure lives
   * in the data, not the directory tree, so `partitionSchema` is empty and
@@ -147,10 +149,15 @@ final class ManifestFileIndex(tableRoot: String, entries: Seq[ManifestEntry])
 
   /** Conservative interval test: false ONLY when `f` provably rejects every
     * row whose stats-tracked columns lie in their recorded bounds. The
-    * bounds ignore nulls, so a `false` is sound only for null-REJECTING
-    * predicates — which all the handled comparison shapes are (`col op
-    * literal` is null-valued, hence filtered out, on a null input); anything
-    * else (IsNull, UDFs, casts, unknown columns) returns true.
+    * bounds ignore nulls, so a bounds-derived `false` is sound only for
+    * null-REJECTING predicates — which all the handled comparison shapes are
+    * (`col op literal` is null-valued, hence filtered out, on a null input).
+    * The ONE null-SENSITIVE predicate handled is `IsNull`, refuted not from
+    * bounds but from the round-6 proven-zero-nulls marker ([[ColBounds
+    * .noNulls]], minted only from footer null counts) — any new null-
+    * sensitive shape must likewise justify itself against `noNulls`, never
+    * against min/max. Anything else (UDFs, casts, unknown columns) returns
+    * true.
     *
     * Every comparison reduces to two signs — min vs literal and max vs
     * literal (the max side is None for an open string upper bound, which

@@ -223,7 +223,11 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
             // '.' so the `..` split is unambiguous, and `-1` keeps the empty
             // min of an empty-string lower bound. Absence of the marker
             // reads as "nulls possible" — the conservative default old
-            // entries get for free.
+            // entries get for free. The reverse direction is NOT compatible:
+            // a pre-round-6 reader drops a `..z` field's bounds entirely
+            // (its 2-part split fails) — safe (stats-absent = keep) but
+            // pruning-dead, so don't serve a marker-writing table to an
+            // older binary expecting file skipping.
             case Array(c, v) if v.startsWith("s:") =>
               val (body, z) = {
                 val raw = v.stripPrefix("s:")

@@ -1453,9 +1453,12 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // file skipping: a small batch's fp64 membership plans a strict subset
     // of the range-clustered files (C16 applied to the dedup probe)
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
-    def fp64(t: String): Long = java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    // derive probe digests through the SAME fp64Of the writer/prober share —
+    // a hand-rolled MD5 copy here would track neither if the definition ever
+    // moved (round-6 review, third pass)
+    def fp64(t: String): Long = Seq(t).toDF("text")
+      .select(Pipelines.fp64Of(md5(col("text").cast("binary"))))
+      .head().getLong(0)
     val idx = new ManifestFileIndex(dd,
       meta.map(m => ManifestEntry(m.path, m.size.get, m.stats)))
     val probe = In(
