@@ -296,21 +296,26 @@ object Pipelines {
     // OCC would have happily committed both appends)
     val base = dlog.currentSnapshot()
     val (survivors, reps) = dedupSurvivors(spark, fresh, dlog, base)
+    // persist-then-count BEFORE any write: survivors are ≤ batch-sized by
+    // construction (bounded memory), and an all-duplicate turn — the shape
+    // of every low-rate streaming tick and idle cron pass — then costs ONE
+    // probe evaluation and nothing else: no range shuffle, no empty staged
+    // files, no abort, no footer re-read (round 5 wrote the stage first and
+    // counted it back, paying the full clustered write to learn n == 0)
+    val sv = survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val stage = dlog.stageUniqueDataDir()
-      // explicit partition count: AQE would coalesce a count-less range
-      // repartition of a small batch into ONE file spanning the full fp64
-      // domain — exactly the layout that defeats the probe's file skipping
-      survivors.repartitionByRange(DedupClusterParts, col("fp64"))
-        .write.mode("overwrite").parquet(stage)
-      // parquet footer count — the slice was just written, no second scan
-      val n = spark.read.schema(dedupedSchema).parquet(stage).count()
-      if (n == 0L) {
-        dlog.abortStage(stage)
-        (None, 0L)
-      } else
+      val n = sv.count()
+      if (n == 0L) (None, 0L)
+      else {
+        val stage = dlog.stageUniqueDataDir()
+        // explicit partition count: AQE would coalesce a count-less range
+        // repartition of a small batch into ONE file spanning the full fp64
+        // domain — exactly the layout that defeats the probe's file skipping
+        sv.repartitionByRange(DedupClusterParts, col("fp64"))
+          .write.mode("overwrite").parquet(stage)
         try (commitFn(stage, base), n)
         catch { case e: Throwable => dlog.abortStage(stage); throw e }
-    } finally reps.unpersist()
+      }
+    } finally { sv.unpersist(); reps.unpersist() }
   }
 }
