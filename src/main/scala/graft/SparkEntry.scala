@@ -30,9 +30,13 @@ object SparkEntry {
   /** ONE recursive delete for the package's dev mains (Bench, TurnProbe,
     * PlanAudit, this entry) — three divergent copies is how a symlink or
     * IO-policy fix lands in one and not the others (round-6 review).
+    * Symlinks are unlinked, never followed: `isDirectory` alone would
+    * recurse THROUGH a dir link (e.g. one planted in a world-writable tmp
+    * dir) and delete the target's contents.
     */
   private[graft] def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
 

@@ -89,8 +89,10 @@ object TurnProbe {
         (secs.min, secs, last)
       }
 
-      // round-6 shape: the full turn through the public API (probe + empty
-      // stage + no commit: appendDeduped returns rows=0 on an all-dup batch)
+      // round-6 shape: the full turn through the public API. An all-dup
+      // batch probes, counts zero survivors, and commits nothing — since
+      // the persist-then-count change it writes no stage either, so
+      // turn_new is the probe evaluation plus fixed job overhead
       val (newSec, newSpread, appended) =
         time3(Pipelines.appendDeduped(spark, batch, dd)._2)
       require(appended == 0L, s"steady-state turn must append nothing, got $appended")
@@ -134,7 +136,13 @@ object TurnProbe {
       // (interactive upserts, low-rate streaming ticks); the big-batch win is
       // the shuffle-free corpus side. Both planned counts ride the artifact.
       val planned = plannedFor(fpLits)
-      val planned16 = plannedFor(fpLits.take(16))
+      // deterministic AND unbiased 16-digest sample: a plain take(16) of the
+      // sorted array picks the 16 SMALLEST digests — range-ADJACENT on a
+      // range-clustered table, overstating file skipping (round-6 review,
+      // fourth pass); an even stride over the sorted order keeps both
+      val stride16 = math.max(1, fpLits.length / 16)
+      val planned16 = plannedFor(
+        fpLits.indices.by(stride16).take(16).map(fpLits))
 
       println(f"mult=$mult%2d rows=$total%8d files=${meta.size}%4d " +
         f"planned=$planned%4d planned16=$planned16%3d  turn_new=${newSec}%6.3f s " +

@@ -177,7 +177,9 @@ object Pipelines {
 
   /** Derive the batch rows that survive dedup against the corpus at snapshot
     * `base` — the INVERTED probe (round-6 VERDICT item 1). Returns
-    * (survivors, batch handle to unpersist when done).
+    * (survivors, batch handle to unpersist when done, batch-is-small —
+    * ≤ `probeFilterLimit` distinct digests, the signal the append stage's
+    * count strategy branches on).
     *
     * Scale shape — the corpus side NEVER exchanges:
     *
@@ -201,7 +203,8 @@ object Pipelines {
     */
   private[spark] def dedupSurvivors(spark: SparkSession, fresh: DataFrame,
       dlog: SnapshotLog, base: Option[Long],
-      probeFilterLimit: Int = DefaultProbeFilterLimit): (DataFrame, DataFrame) = {
+      probeFilterLimit: Int = DefaultProbeFilterLimit)
+      : (DataFrame, DataFrame, Boolean) = {
     val withFp = fresh
       .withColumn("fp", md5(col("text").cast("binary")))
       .withColumn("fp64", fp64Of(col("fp")))
@@ -257,7 +260,7 @@ object Pipelines {
           .join(broadcast(reps.select("fp")), Seq("fp"), "left_semi")
     val survivors = reps.join(broadcast(present), Seq("fp"), "left_anti")
       .select(dedupedSchema.fieldNames.toIndexedSeq.map(col): _*)
-    (survivors, reps)
+    (survivors, reps, batchFps.length <= probeFilterLimit)
   }
 
   /** Audit surface: the per-turn survivors DataFrame for `fresh` against the
@@ -269,7 +272,8 @@ object Pipelines {
   def probeSurvivors(spark: SparkSession, fresh: DataFrame,
       dedupedDir: String): (DataFrame, DataFrame) = {
     val dlog = new SnapshotLog(dedupedDir)
-    dedupSurvivors(spark, fresh, dlog, dlog.currentSnapshot())
+    val (survivors, reps, _) = dedupSurvivors(spark, fresh, dlog, dlog.currentSnapshot())
+    (survivors, reps)
   }
 
   /** How many range partitions (≈ files) a deduped append commit clusters
@@ -295,27 +299,47 @@ object Pipelines {
     // loses loudly and its rerun re-derives — round-5 review pass 3; plain
     // OCC would have happily committed both appends)
     val base = dlog.currentSnapshot()
-    val (survivors, reps) = dedupSurvivors(spark, fresh, dlog, base)
-    // persist-then-count BEFORE any write: survivors are ≤ batch-sized by
-    // construction (bounded memory), and an all-duplicate turn — the shape
-    // of every low-rate streaming tick and idle cron pass — then costs ONE
-    // probe evaluation and nothing else: no range shuffle, no empty staged
-    // files, no abort, no footer re-read (round 5 wrote the stage first and
-    // counted it back, paying the full clustered write to learn n == 0)
-    val sv = survivors.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (survivors, reps, smallBatch) = dedupSurvivors(spark, fresh, dlog, base)
     try {
-      val n = sv.count()
-      if (n == 0L) (None, 0L)
-      else {
+      if (smallBatch) {
+        // streaming-tick regime (≤ probeFilterLimit distinct digests):
+        // survivors are small, so persist-then-count BEFORE any write — an
+        // all-duplicate turn, the shape of every low-rate streaming tick and
+        // idle cron pass, then costs ONE probe evaluation and nothing else:
+        // no range shuffle, no empty staged files, no abort, no footer
+        // re-read (round 5 wrote the stage first and counted it back)
+        val sv = survivors.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val n = sv.count()
+          if (n == 0L) (None, 0L)
+          else {
+            val stage = dlog.stageUniqueDataDir()
+            // explicit partition count: AQE would coalesce a count-less
+            // range repartition of a small batch into ONE file spanning the
+            // full fp64 domain — the layout that defeats file skipping
+            sv.repartitionByRange(DedupClusterParts, col("fp64"))
+              .write.mode("overwrite").parquet(stage)
+            try (commitFn(stage, base), n)
+            catch { case e: Throwable => dlog.abortStage(stage); throw e }
+          }
+        } finally sv.unpersist()
+      } else {
+        // seeding/backfill regime: survivors can be corpus-sized, so a
+        // persist would double-materialize the whole slice (round-6 review,
+        // fourth pass) — ONE streamed clustered write with the row count
+        // observed on it; the rare empty result aborts the empty stage
         val stage = dlog.stageUniqueDataDir()
-        // explicit partition count: AQE would coalesce a count-less range
-        // repartition of a small batch into ONE file spanning the full fp64
-        // domain — exactly the layout that defeats the probe's file skipping
-        sv.repartitionByRange(DedupClusterParts, col("fp64"))
+        val obs = org.apache.spark.sql.Observation()
+        survivors.observe(obs, count(lit(1)).as("n"))
+          .repartitionByRange(DedupClusterParts, col("fp64"))
           .write.mode("overwrite").parquet(stage)
-        try (commitFn(stage, base), n)
-        catch { case e: Throwable => dlog.abortStage(stage); throw e }
+        val n = obs.get("n").asInstanceOf[Long]
+        if (n == 0L) { dlog.abortStage(stage); (None, 0L) }
+        else
+          try (commitFn(stage, base), n)
+          catch { case e: Throwable => dlog.abortStage(stage); throw e }
       }
-    } finally { sv.unpersist(); reps.unpersist() }
+    } finally reps.unpersist()
   }
 }

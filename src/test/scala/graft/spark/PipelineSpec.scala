@@ -1428,8 +1428,9 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every deduped file must carry fp64 bounds")
     // fresh batch: 10 already-committed texts + 10 new ones
     val batch = extractedDF(790, 810)
-    val (survivors, reps) =
+    val (survivors, reps, small) =
       Pipelines.dedupSurvivors(spark, batch, dlog, dlog.currentSnapshot())
+    assert(small, "a 20-digest batch must report the small-batch regime")
     try {
       // plan shape FIRST (static): corpus scanned, but inside no shuffle
       val (scanned, shuffles) = corpusScanShape(survivors)
@@ -1442,9 +1443,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"only the 10 fresh texts survive, got $urls")
       // the big-batch branch (probe filter disabled) agrees and also plans
       // zero corpus-side shuffles (broadcast semi-probe)
-      val (s2, r2) = Pipelines.dedupSurvivors(
+      val (s2, r2, small2) = Pipelines.dedupSurvivors(
         spark, batch, dlog, dlog.currentSnapshot(), probeFilterLimit = 0)
       try {
+        assert(!small2, "probeFilterLimit = 0 must report the big-batch regime")
         val (scanned2, shuffles2) = corpusScanShape(s2)
         assert(scanned2 && shuffles2 == 0)
         assert(s2.collect().map(_.getString(0)).sorted.toSeq == urls)
