@@ -387,6 +387,38 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally { hc.unset("graft.fs.atomic.rename"); hc.unset("graft.fs.cas.unsafe") }
   }
 
+  test("lease lock: an unreadable queue-head member gets a lease of grace, then GC") {
+    // round-6 fix under test: a member whose content can't be read (store
+    // error on a live holder, or a PUT caught mid-write on create-then-chmod
+    // stores) must NOT read as vanished — that let a waiter jump the queue
+    // and acquire while the lock was held. It counts as live for a full
+    // lease, then the normal expiry GC reclaims it (a crashed mid-PUT
+    // writer stalls the queue no longer than a crashed holder).
+    val dir = tmpDir("lease_grace")
+    val io = new GraftIo(dir, SnapshotLog.defaultHadoopConf())
+    val locks = new org.apache.hadoop.fs.Path(io.root, "_locks")
+    io.mkdirs(locks)
+    // a queue-HEAD member (past self-sequenced timestamp sorts first) with
+    // unparseable content — the shape a crashed mid-PUT writer leaves
+    io.writeDirect(
+      new org.apache.hadoop.fs.Path(locks, "00000001700000000000-abcdef012345"),
+      "not-a-lease-expiry")
+    val leaseMs = 600L
+    val lock = new FileLeaseCommitLock(io, locks,
+      leaseMs = leaseMs, settleMs = 25L, timeoutMs = 10000L)
+    val t0 = System.nanoTime()
+    val lease = lock.acquire()
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    try {
+      assert(waitedMs >= leaseMs,
+        s"the unreadable head must hold the queue for a full lease of " +
+          s"grace before GC — acquired after only ${waitedMs}ms (the old " +
+          "treat-as-vanished behavior acquired immediately)")
+      assert(io.list(locks).count(_.getPath.getName.startsWith("00000001700")) == 0,
+        "the aged-out unreadable member must be reclaimed, not leak forever")
+    } finally lease.release()
+  }
+
   test("non-atomic store protocol: racing appenders all land through the lease commit lock") {
     // the round-5 gap: s3a:// deployments chose between single-writer and
     // unsafe last-writer-wins. With graft.fs.cas.lock=lease the commit CAS
