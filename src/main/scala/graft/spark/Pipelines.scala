@@ -327,14 +327,16 @@ object Pipelines {
       } else {
         // seeding/backfill regime: survivors can be corpus-sized, so a
         // persist would double-materialize the whole slice (round-6 review,
-        // fourth pass) — ONE streamed clustered write with the row count
-        // observed on it; the rare empty result aborts the empty stage
+        // fourth pass) — ONE streamed clustered write, then the row count
+        // from the just-written parquet footers (O(files) metadata, no
+        // second scan). NOT an observe() on the write: repartitionByRange
+        // runs a SAMPLING pass over its child to pick range boundaries, so
+        // an observed count upstream of it accumulates ~2x the true rows —
+        // caught by the big-batch regression test, which saw exactly double
         val stage = dlog.stageUniqueDataDir()
-        val obs = org.apache.spark.sql.Observation()
-        survivors.observe(obs, count(lit(1)).as("n"))
-          .repartitionByRange(DedupClusterParts, col("fp64"))
+        survivors.repartitionByRange(DedupClusterParts, col("fp64"))
           .write.mode("overwrite").parquet(stage)
-        val n = obs.get("n").asInstanceOf[Long]
+        val n = spark.read.schema(dedupedSchema).parquet(stage).count()
         if (n == 0L) { dlog.abortStage(stage); (None, 0L) }
         else
           try (commitFn(stage, base), n)

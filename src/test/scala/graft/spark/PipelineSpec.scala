@@ -1501,6 +1501,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every digest must appear exactly once after the mixed-layout append")
   }
 
+  test("big-batch dedup append: streamed write path lands and no-ops on replay") {
+    val sp = spark; import sp.implicits._
+    // > DefaultProbeFilterLimit (8192) distinct digests routes the append
+    // through the seeding/backfill regime: one streamed clustered write with
+    // footer-derived row count (no persist double-materialization) —
+    // a path no small-batch test exercises (round-6 fourth pass)
+    val dd = tmpDir("probe_big")
+    val n = Pipelines.DefaultProbeFilterLimit + 500
+    def batch() = spark.range(n).select(
+      concat(lit("https://big/"), col("id")).as("url"),
+      (col("id") % 8).cast("int").as("bucket"), lit("html").as("kind"),
+      array(concat(lit("big text "), col("id"))).as("pages"),
+      concat(lit("big text "), col("id")).as("text"),
+      (col("id") + 10L).as("n_bytes"), col("id").as("checksum"))
+    val (id1, n1) = Pipelines.appendDeduped(spark, batch(), dd)
+    assert(id1.isDefined && n1 == n.toLong, s"first big append: ($id1, $n1)")
+    // replay of the same batch: all duplicates, still the big-batch regime —
+    // the observed count is 0, the empty stage aborts, nothing commits
+    val (id2, n2) = Pipelines.appendDeduped(spark, batch(), dd)
+    assert(id2.isEmpty && n2 == 0L, s"all-dup big append must no-op: ($id2, $n2)")
+    val dlog = new SnapshotLog(dd)
+    assert(dlog.currentSnapshot() == id1)
+    val all = dlog.scan(spark, Pipelines.dedupedSchema)
+    assert(all.count() == n.toLong)
+    assert(all.select("fp").distinct().count() == n.toLong)
+  }
+
   test("dedup probe after compacting a mixed legacy corpus never re-admits duplicates") {
     val sp = spark; import sp.implicits._
     // the second-pass review trap: legacy (fp-only) rows survive a
