@@ -44,6 +44,14 @@ object TurnProbe {
     val cpus = if (args.length > 0) args(0).toInt else 16
     val baseRows = if (args.length > 1) args(1).toLong else 400000L
     val batchRows = if (args.length > 2) args(2).toInt else 2000
+    // past the probe-filter limit a turn takes the big-batch regime, whose
+    // all-dup pass DOES write (and abort) an empty clustered stage — the
+    // turn_new numbers would silently measure a different shape than the
+    // probe-only cost this harness claims (round-6 review, fifth pass)
+    require(batchRows <= graft.spark.Pipelines.DefaultProbeFilterLimit,
+      s"batchRows=$batchRows would leave the small-batch regime " +
+        s"(limit ${graft.spark.Pipelines.DefaultProbeFilterLimit}) and " +
+        "change what turn_new measures")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)

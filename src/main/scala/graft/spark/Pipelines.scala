@@ -203,8 +203,7 @@ object Pipelines {
     */
   private[spark] def dedupSurvivors(spark: SparkSession, fresh: DataFrame,
       dlog: SnapshotLog, base: Option[Long],
-      probeFilterLimit: Int = DefaultProbeFilterLimit)
-      : (DataFrame, DataFrame, Boolean) = {
+      probeFilterLimit: Int = DefaultProbeFilterLimit): ProbeResult = {
     val withFp = fresh
       .withColumn("fp", md5(col("text").cast("binary")))
       .withColumn("fp64", fp64Of(col("fp")))
@@ -258,10 +257,29 @@ object Pipelines {
       else
         corpus.select("fp")
           .join(broadcast(reps.select("fp")), Seq("fp"), "left_semi")
-    val survivors = reps.join(broadcast(present), Seq("fp"), "left_anti")
+    val smallBatch = batchFps.length <= probeFilterLimit
+    // big-batch regime: the caller streams survivors through an UNpersisted
+    // clustered write whose range sampling evaluates the plan once more —
+    // caching the thin `present` frame (one fp column, ≤ batch distinct
+    // digests) makes the second evaluation a cached anti-join instead of a
+    // second full corpus probe (round-6 review, fifth pass). Small batches
+    // persist survivors themselves, so present is evaluated once anyway.
+    val presentCached =
+      if (smallBatch) present
+      else present.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = reps.join(broadcast(presentCached), Seq("fp"), "left_anti")
       .select(dedupedSchema.fieldNames.toIndexedSeq.map(col): _*)
-    (survivors, reps, batchFps.length <= probeFilterLimit)
+    ProbeResult(survivors, reps,
+      if (smallBatch) Seq(reps) else Seq(reps, presentCached), smallBatch)
   }
+
+  /** [[dedupSurvivors]]'s result: the survivor frame, the persisted in-batch
+    * representative frame (probed by callers that need the batch again), the
+    * cache handles to unpersist when done, and the regime flag the append
+    * stage's count strategy branches on.
+    */
+  private[spark] final case class ProbeResult(survivors: DataFrame,
+      reps: DataFrame, handles: Seq[DataFrame], smallBatch: Boolean)
 
   /** Audit surface: the per-turn survivors DataFrame for `fresh` against the
     * CURRENT deduped snapshot, without committing — what PlanAudit dumps to
@@ -272,8 +290,8 @@ object Pipelines {
   def probeSurvivors(spark: SparkSession, fresh: DataFrame,
       dedupedDir: String): (DataFrame, DataFrame) = {
     val dlog = new SnapshotLog(dedupedDir)
-    val (survivors, reps, _) = dedupSurvivors(spark, fresh, dlog, dlog.currentSnapshot())
-    (survivors, reps)
+    val r = dedupSurvivors(spark, fresh, dlog, dlog.currentSnapshot())
+    (r.survivors, r.reps)
   }
 
   /** How many range partitions (≈ files) a deduped append commit clusters
@@ -299,49 +317,52 @@ object Pipelines {
     // loses loudly and its rerun re-derives — round-5 review pass 3; plain
     // OCC would have happily committed both appends)
     val base = dlog.currentSnapshot()
-    val (survivors, reps, smallBatch) = dedupSurvivors(spark, fresh, dlog, base)
+    val probe = dedupSurvivors(spark, fresh, dlog, base)
+    // ONE staging/commit protocol for both regimes below — two verbatim
+    // copies is how a protocol change lands in one branch only (round-6
+    // review, fifth pass). Explicit partition count: AQE would coalesce a
+    // count-less range repartition of a small batch into ONE file spanning
+    // the full fp64 domain — the layout that defeats file skipping.
+    def clusteredStage(df: DataFrame): String = {
+      val stage = dlog.stageUniqueDataDir()
+      df.repartitionByRange(DedupClusterParts, col("fp64"))
+        .write.mode("overwrite").parquet(stage)
+      stage
+    }
+    def commitOrAbort(stage: String, n: Long): (Option[Long], Long) =
+      try (commitFn(stage, base), n)
+      catch { case e: Throwable => dlog.abortStage(stage); throw e }
     try {
-      if (smallBatch) {
+      if (probe.smallBatch) {
         // streaming-tick regime (≤ probeFilterLimit distinct digests):
         // survivors are small, so persist-then-count BEFORE any write — an
         // all-duplicate turn, the shape of every low-rate streaming tick and
         // idle cron pass, then costs ONE probe evaluation and nothing else:
         // no range shuffle, no empty staged files, no abort, no footer
         // re-read (round 5 wrote the stage first and counted it back)
-        val sv = survivors.persist(
+        val sv = probe.survivors.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val n = sv.count()
           if (n == 0L) (None, 0L)
-          else {
-            val stage = dlog.stageUniqueDataDir()
-            // explicit partition count: AQE would coalesce a count-less
-            // range repartition of a small batch into ONE file spanning the
-            // full fp64 domain — the layout that defeats file skipping
-            sv.repartitionByRange(DedupClusterParts, col("fp64"))
-              .write.mode("overwrite").parquet(stage)
-            try (commitFn(stage, base), n)
-            catch { case e: Throwable => dlog.abortStage(stage); throw e }
-          }
+          else commitOrAbort(clusteredStage(sv), n)
         } finally sv.unpersist()
       } else {
         // seeding/backfill regime: survivors can be corpus-sized, so a
         // persist would double-materialize the whole slice (round-6 review,
-        // fourth pass) — ONE streamed clustered write, then the row count
-        // from the just-written parquet footers (O(files) metadata, no
-        // second scan). NOT an observe() on the write: repartitionByRange
-        // runs a SAMPLING pass over its child to pick range boundaries, so
-        // an observed count upstream of it accumulates ~2x the true rows —
-        // caught by the big-batch regression test, which saw exactly double
-        val stage = dlog.stageUniqueDataDir()
-        survivors.repartitionByRange(DedupClusterParts, col("fp64"))
-          .write.mode("overwrite").parquet(stage)
+        // fourth pass) — ONE streamed clustered write (the probe's cached
+        // `present` side keeps the range-sampling pass off the corpus), then
+        // the row count from the just-written parquet footers (O(files)
+        // metadata, no second scan). NOT an observe() on the write:
+        // repartitionByRange runs a SAMPLING pass over its child to pick
+        // range boundaries, so an observed count upstream of it accumulates
+        // ~2x the true rows — caught by the big-batch regression test,
+        // which saw exactly double
+        val stage = clusteredStage(probe.survivors)
         val n = spark.read.schema(dedupedSchema).parquet(stage).count()
         if (n == 0L) { dlog.abortStage(stage); (None, 0L) }
-        else
-          try (commitFn(stage, base), n)
-          catch { case e: Throwable => dlog.abortStage(stage); throw e }
+        else commitOrAbort(stage, n)
       }
-    } finally reps.unpersist()
+    } finally probe.handles.foreach(_.unpersist())
   }
 }

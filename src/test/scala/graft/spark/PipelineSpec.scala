@@ -1398,19 +1398,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   private def corpusScanShape(df: org.apache.spark.sql.DataFrame): (Boolean, Int) = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val phys: SparkPlan = df.queryExecution.executedPlan match {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
       case p => p
     }
-    def corpusScans(p: SparkPlan) = p.collect {
+    // expand cache boundaries: the probe persists its thin `present` frame
+    // in the big-batch regime, so the corpus subtree sits INSIDE an
+    // InMemoryRelation a plain collect treats as a leaf
+    def roots(p: SparkPlan): Seq[SparkPlan] =
+      p +: p.collect {
+        case im: InMemoryTableScanExec => roots(unwrap(im.relation.cachedPlan))
+      }.flatten
+    def corpusScans(p: SparkPlan) = roots(p).flatMap(_.collect {
       case f: FileSourceScanExec
         if f.relation.location.isInstanceOf[ManifestFileIndex] => f
-    }
-    val shuffled = phys.collect {
+    })
+    val all = roots(unwrap(df.queryExecution.executedPlan))
+    val shuffled = all.flatMap(_.collect {
       case s: ShuffleExchangeExec if corpusScans(s).nonEmpty => s
-    }
-    (corpusScans(phys).nonEmpty, shuffled.size)
+    })
+    (corpusScans(unwrap(df.queryExecution.executedPlan)).nonEmpty, shuffled.size)
   }
 
   test("inverted dedup probe: the corpus side never shuffles; fp64 stats prune files") {
@@ -1428,7 +1437,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every deduped file must carry fp64 bounds")
     // fresh batch: 10 already-committed texts + 10 new ones
     val batch = extractedDF(790, 810)
-    val (survivors, reps, small) =
+    val Pipelines.ProbeResult(survivors, _, handles, small) =
       Pipelines.dedupSurvivors(spark, batch, dlog, dlog.currentSnapshot())
     assert(small, "a 20-digest batch must report the small-batch regime")
     try {
@@ -1443,15 +1452,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"only the 10 fresh texts survive, got $urls")
       // the big-batch branch (probe filter disabled) agrees and also plans
       // zero corpus-side shuffles (broadcast semi-probe)
-      val (s2, r2, small2) = Pipelines.dedupSurvivors(
+      val probe2 = Pipelines.dedupSurvivors(
         spark, batch, dlog, dlog.currentSnapshot(), probeFilterLimit = 0)
       try {
-        assert(!small2, "probeFilterLimit = 0 must report the big-batch regime")
-        val (scanned2, shuffles2) = corpusScanShape(s2)
+        assert(!probe2.smallBatch,
+          "probeFilterLimit = 0 must report the big-batch regime")
+        assert(probe2.handles.size == 2,
+          "the big-batch regime must cache the present side too")
+        val (scanned2, shuffles2) = corpusScanShape(probe2.survivors)
         assert(scanned2 && shuffles2 == 0)
-        assert(s2.collect().map(_.getString(0)).sorted.toSeq == urls)
-      } finally r2.unpersist()
-    } finally reps.unpersist()
+        assert(probe2.survivors.collect().map(_.getString(0)).sorted.toSeq == urls)
+      } finally probe2.handles.foreach(_.unpersist())
+    } finally handles.foreach(_.unpersist())
     // file skipping: a small batch's fp64 membership plans a strict subset
     // of the range-clustered files (C16 applied to the dedup probe)
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
