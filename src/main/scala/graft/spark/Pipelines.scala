@@ -285,12 +285,21 @@ object Pipelines {
     * CURRENT deduped snapshot, without committing — what PlanAudit dumps to
     * PLANS.md so the no-corpus-exchange claim is inspectable, not just
     * test-asserted. Returns (survivors, persisted reps handle — unpersist it
-    * once the plan/result is consumed).
+    * once the plan/result is consumed). Audit batches only: past the probe-
+    * filter limit the probe also caches its present side, which this
+    * two-handle surface cannot return for cleanup — use small batches (the
+    * require enforces it).
     */
   def probeSurvivors(spark: SparkSession, fresh: DataFrame,
       dedupedDir: String): (DataFrame, DataFrame) = {
     val dlog = new SnapshotLog(dedupedDir)
     val r = dedupSurvivors(spark, fresh, dlog, dlog.currentSnapshot())
+    if (!r.smallBatch) {
+      r.handles.foreach(_.unpersist()) // release before refusing — no leak
+      throw new IllegalArgumentException(
+        "probeSurvivors is an audit surface for small batches: a big batch " +
+          "caches state this two-handle signature cannot hand back for cleanup")
+    }
     (r.survivors, r.reps)
   }
 
