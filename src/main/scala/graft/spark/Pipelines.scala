@@ -176,10 +176,8 @@ object Pipelines {
   }
 
   /** Derive the batch rows that survive dedup against the corpus at snapshot
-    * `base` — the INVERTED probe (round-6 VERDICT item 1). Returns
-    * (survivors, batch handle to unpersist when done, batch-is-small —
-    * ≤ `probeFilterLimit` distinct digests, the signal the append stage's
-    * count strategy branches on).
+    * `base` — the INVERTED probe (round-6 VERDICT item 1). Returns a
+    * [[ProbeResult]]; its `reps` handle is the one cache to unpersist.
     *
     * Scale shape — the corpus side NEVER exchanges:
     *
@@ -257,49 +255,36 @@ object Pipelines {
       else
         corpus.select("fp")
           .join(broadcast(reps.select("fp")), Seq("fp"), "left_semi")
-    val smallBatch = batchFps.length <= probeFilterLimit
-    // big-batch regime: the caller streams survivors through an UNpersisted
-    // clustered write whose range sampling evaluates the plan once more —
-    // caching the thin `present` frame (one fp column, ≤ batch distinct
-    // digests) makes the second evaluation a cached anti-join instead of a
-    // second full corpus probe (round-6 review, fifth pass). Small batches
-    // persist survivors themselves, so present is evaluated once anyway.
-    val presentCached =
-      if (smallBatch) present
-      else present.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val survivors = reps.join(broadcast(presentCached), Seq("fp"), "left_anti")
+    // NO cache on `present`: it feeds survivors through an explicit
+    // broadcast, and a BroadcastExchange materializes its child exactly once
+    // per execution (memoized relation future) — even repartitionByRange's
+    // range-sampling pass reuses the built broadcast rather than re-running
+    // the corpus probe, so a persist here would be pure storage overhead
+    // (a fifth-pass persist was added on that wrong premise and reverted in
+    // the sixth review pass).
+    val survivors = reps.join(broadcast(present), Seq("fp"), "left_anti")
       .select(dedupedSchema.fieldNames.toIndexedSeq.map(col): _*)
-    ProbeResult(survivors, reps,
-      if (smallBatch) Seq(reps) else Seq(reps, presentCached), smallBatch)
+    ProbeResult(survivors, reps, batchFps.length <= probeFilterLimit)
   }
 
   /** [[dedupSurvivors]]'s result: the survivor frame, the persisted in-batch
-    * representative frame (probed by callers that need the batch again), the
-    * cache handles to unpersist when done, and the regime flag the append
-    * stage's count strategy branches on.
+    * representative frame (unpersist it when done — the ONLY cache the probe
+    * creates), and the regime flag the append stage's count strategy
+    * branches on.
     */
   private[spark] final case class ProbeResult(survivors: DataFrame,
-      reps: DataFrame, handles: Seq[DataFrame], smallBatch: Boolean)
+      reps: DataFrame, smallBatch: Boolean)
 
   /** Audit surface: the per-turn survivors DataFrame for `fresh` against the
     * CURRENT deduped snapshot, without committing — what PlanAudit dumps to
     * PLANS.md so the no-corpus-exchange claim is inspectable, not just
     * test-asserted. Returns (survivors, persisted reps handle — unpersist it
-    * once the plan/result is consumed). Audit batches only: past the probe-
-    * filter limit the probe also caches its present side, which this
-    * two-handle surface cannot return for cleanup — use small batches (the
-    * require enforces it).
+    * once the plan/result is consumed).
     */
   def probeSurvivors(spark: SparkSession, fresh: DataFrame,
       dedupedDir: String): (DataFrame, DataFrame) = {
     val dlog = new SnapshotLog(dedupedDir)
     val r = dedupSurvivors(spark, fresh, dlog, dlog.currentSnapshot())
-    if (!r.smallBatch) {
-      r.handles.foreach(_.unpersist()) // release before refusing — no leak
-      throw new IllegalArgumentException(
-        "probeSurvivors is an audit surface for small batches: a big batch " +
-          "caches state this two-handle signature cannot hand back for cleanup")
-    }
     (r.survivors, r.reps)
   }
 
@@ -359,19 +344,25 @@ object Pipelines {
       } else {
         // seeding/backfill regime: survivors can be corpus-sized, so a
         // persist would double-materialize the whole slice (round-6 review,
-        // fourth pass) — ONE streamed clustered write (the probe's cached
-        // `present` side keeps the range-sampling pass off the corpus), then
-        // the row count from the just-written parquet footers (O(files)
-        // metadata, no second scan). NOT an observe() on the write:
-        // repartitionByRange runs a SAMPLING pass over its child to pick
-        // range boundaries, so an observed count upstream of it accumulates
-        // ~2x the true rows — caught by the big-batch regression test,
-        // which saw exactly double
+        // fourth pass) — ONE streamed clustered write (the corpus probe
+        // rides a once-materialized broadcast, so the range-sampling pass
+        // never re-runs it), then the row count from the just-written
+        // parquet footers: the stage is always DedupClusterParts files, so
+        // the count is an O(8)-footer metadata job. NOT an observe() on the
+        // write: repartitionByRange runs a SAMPLING pass over its child to
+        // pick range boundaries, so an observed count upstream of it
+        // accumulates ~2x the true rows — caught by the big-batch
+        // regression test, which saw exactly double
         val stage = clusteredStage(probe.survivors)
-        val n = spark.read.schema(dedupedSchema).parquet(stage).count()
+        val n =
+          try spark.read.schema(dedupedSchema).parquet(stage).count()
+          // eager cleanup like every other failure point here: a transient
+          // count failure must not leak a possibly-huge staged dir until
+          // the age-gated orphan sweep (round-6 review, sixth pass)
+          catch { case e: Throwable => dlog.abortStage(stage); throw e }
         if (n == 0L) { dlog.abortStage(stage); (None, 0L) }
         else commitOrAbort(stage, n)
       }
-    } finally probe.handles.foreach(_.unpersist())
+    } finally probe.reps.unpersist()
   }
 }

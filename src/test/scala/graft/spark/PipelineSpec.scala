@@ -1437,7 +1437,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every deduped file must carry fp64 bounds")
     // fresh batch: 10 already-committed texts + 10 new ones
     val batch = extractedDF(790, 810)
-    val Pipelines.ProbeResult(survivors, _, handles, small) =
+    val Pipelines.ProbeResult(survivors, reps, small) =
       Pipelines.dedupSurvivors(spark, batch, dlog, dlog.currentSnapshot())
     assert(small, "a 20-digest batch must report the small-batch regime")
     try {
@@ -1457,13 +1457,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       try {
         assert(!probe2.smallBatch,
           "probeFilterLimit = 0 must report the big-batch regime")
-        assert(probe2.handles.size == 2,
-          "the big-batch regime must cache the present side too")
         val (scanned2, shuffles2) = corpusScanShape(probe2.survivors)
         assert(scanned2 && shuffles2 == 0)
         assert(probe2.survivors.collect().map(_.getString(0)).sorted.toSeq == urls)
-      } finally probe2.handles.foreach(_.unpersist())
-    } finally handles.foreach(_.unpersist())
+      } finally probe2.reps.unpersist()
+    } finally reps.unpersist()
     // file skipping: a small batch's fp64 membership plans a strict subset
     // of the range-clustered files (C16 applied to the dedup probe)
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
