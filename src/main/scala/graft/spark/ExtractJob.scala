@@ -105,14 +105,35 @@ object ExtractJob {
     val t0 = System.nanoTime()
 
     // C2 resume: pending = pages \ done (per-url, finer than the reference's
-    // all-or-nothing JSON-folder probe at claim.py:17-20)
-    // plain anti-join: AQE picks broadcast vs shuffle from runtime stats, and at
-    // 100 TB the done side is too big to force-broadcast anyway
+    // all-or-nothing JSON-folder probe at claim.py:17-20).
+    //
+    // The join strategy is chosen DELIBERATELY (round 7). Left alone, the
+    // planner picked a SortMergeJoin here — the ManifestFileIndex's exact
+    // sizeInBytes is the WHOLE table's bytes, so the url projection never
+    // estimated under the broadcast threshold — and a sort-merge LeftAnti
+    // SHUFFLES THE FULL PAGES PAYLOAD (url, html, text) on url before the
+    // kernel ever runs: the exact payload exchange this job's design forbids
+    // (plan-audited; measured as two concurrent ~3 s stages per bench
+    // pipeline turn, growing with the table). AQE could only downgrade the
+    // join AFTER the pages side's shuffle map stage had already materialized,
+    // which is where the cost lives. The done side's true row count is read
+    // with a metadata-only count (column-pruned parquet count = footer row
+    // counts, no data pages); below the budget the done urls broadcast and
+    // the payload never leaves its scan partitions. Above it (a 100 TB
+    // resume against billions of done urls) the sort-merge anti-join IS the
+    // correct plan — at that overlap the batch payload must co-partition
+    // with the done set — so the fallback stays, loudly shaped, and the
+    // budget is a conf, not a constant tuned to this sandbox.
     val pending =
       if (force) pages
       else {
         val done = log.scan(spark, Schemas.extractedSchema).select("url")
-        pages.join(done, Seq("url"), "left_anti").as[Schemas.Page]
+        val doneRows = done.count()
+        val budget = spark.conf.get(
+          "graft.extract.broadcastDoneRows", "4000000").toLong
+        if (doneRows <= budget)
+          pages.join(broadcast(done), Seq("url"), "left_anti").as[Schemas.Page]
+        else pages.join(done, Seq("url"), "left_anti").as[Schemas.Page]
       }
 
     val snapshotId = log.nextSnapshotId()
