@@ -29,7 +29,7 @@ object BenchExtra {
         " | " + Option(js.properties)
         .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("") +
         s" | stages=${js.stageInfos.size}:" +
-        js.stageInfos.map(_.numTasks).mkString(",")
+        js.stageInfos.map(si => s"${si.numTasks}(${si.name.take(40)})").mkString(",")
       starts.put(js.jobId, (System.nanoTime(), desc)): Unit
     }
     override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {

@@ -1437,8 +1437,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "every deduped file must carry fp64 bounds")
     // fresh batch: 10 already-committed texts + 10 new ones
     val batch = extractedDF(790, 810)
-    val Pipelines.ProbeResult(survivors, reps, small) =
+    val probe0 =
       Pipelines.dedupSurvivors(spark, batch, dlog, dlog.currentSnapshot())
+    val (survivors, reps, small) =
+      (probe0.survivors, probe0.reps, probe0.smallBatch)
     assert(small, "a 20-digest batch must report the small-batch regime")
     try {
       // plan shape FIRST (static): corpus scanned, but inside no shuffle
@@ -1536,6 +1538,99 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val all = dlog.scan(spark, Pipelines.dedupedSchema)
     assert(all.count() == n.toLong)
     assert(all.select("fp").distinct().count() == n.toLong)
+  }
+
+  test("seeding fallback: past the broadcast budget the probe plans shuffle joins, same rows") {
+    val sp = spark; import sp.implicits._
+    // round-6 VERDICT item 1: the big-batch regime force-broadcast the batch
+    // digest set — a hard ~8GB/512M-row ceiling at a true first-seed. Past
+    // graft.dedup.broadcastProbeRows the probe must fall back to plain
+    // digest-thin shuffle semi/anti joins: an Exchange appears in exactly
+    // that regime (and ONLY there — the budgeted regimes stay exchange-free
+    // on the corpus side, pinned by the inverted-probe test above).
+    val dd = tmpDir("probe_fallback")
+    def extractedDF(lo: Int, hi: Int) =
+      spark.createDataset((lo until hi).map(i => Schemas.Extracted(
+        s"https://fb/$i", i % 8, "html",
+        Seq(s"fallback text $i"), s"fallback text $i", 10L + i, i.toLong))).toDF()
+    assert(Pipelines.appendDeduped(spark, extractedDF(0, 300), dd)._2 == 300L)
+    val dlog = new SnapshotLog(dd)
+    val batch = extractedDF(290, 320) // 10 dups + 30 fresh
+    // broadcast path (reference): big-batch regime, under the budget
+    val bProbe = Pipelines.dedupSurvivors(
+      spark, batch, dlog, dlog.currentSnapshot(), probeFilterLimit = 0)
+    val expected = try {
+      assert(!bProbe.smallBatch && bProbe.broadcastable)
+      bProbe.survivors.select("url").as[String].collect().sorted.toSeq
+    } finally bProbe.reps.unpersist()
+    spark.conf.set("graft.dedup.broadcastProbeRows", "0")
+    // auto-broadcast off: at test sizes the planner would still pick BHJ
+    // from its own estimates (which is fine — the fallback only removes the
+    // unbounded HINT); at seeding scale the estimates exceed any threshold,
+    // which this mimics so the planned shuffle is visible
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Pipelines.dedupSurvivors(
+        spark, batch, dlog, dlog.currentSnapshot(), probeFilterLimit = 0)
+      try {
+        assert(!probe.smallBatch && !probe.broadcastable,
+          "a zero budget must force the shuffle fallback")
+        // inputPlan predates AQE's exchange insertion, so assert on the join
+        // STRATEGY: every probe join must be shuffle-based (sort-merge),
+        // none broadcast — the O(batch) digest-thin co-partitioning plan
+        def unwrap(p: org.apache.spark.sql.execution.SparkPlan) = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.inputPlan
+          case o => o
+        }
+        val plan = unwrap(probe.survivors.queryExecution.executedPlan)
+        val smj = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        }
+        val bhj = plan.collect {
+          case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+        }
+        assert(smj.nonEmpty && bhj.isEmpty,
+          "the fallback regime must plan shuffle joins (no broadcast); " +
+            s"got smj=${smj.size} bhj=${bhj.size}:\n${plan.treeString}")
+        assert(probe.survivors.select("url").as[String].collect().sorted.toSeq
+          == expected, "fallback regime must keep the same survivors")
+      } finally probe.reps.unpersist()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      // the append path through the fallback regime (> probeFilterLimit
+      // digests, zero budget) lands the right rows and a replay no-ops —
+      // the count strategy holds without any broadcast anywhere
+      val dd2 = tmpDir("probe_fallback_append")
+      val big = Pipelines.DefaultProbeFilterLimit + 300
+      def bigBatch() = spark.range(big).select(
+        concat(lit("https://fb2/"), col("id")).as("url"),
+        (col("id") % 8).cast("int").as("bucket"), lit("html").as("kind"),
+        array(concat(lit("fb2 text "), col("id"))).as("pages"),
+        concat(lit("fb2 text "), col("id")).as("text"),
+        (col("id") + 10L).as("n_bytes"), col("id").as("checksum"))
+      val (id1, n1) = Pipelines.appendDeduped(spark, bigBatch(), dd2)
+      assert(id1.isDefined && n1 == big.toLong, s"fallback append: ($id1, $n1)")
+      val (id2, n2) = Pipelines.appendDeduped(spark, bigBatch(), dd2)
+      assert(id2.isEmpty && n2 == 0L, s"fallback replay must no-op: ($id2, $n2)")
+      val all = new SnapshotLog(dd2).scan(spark, Pipelines.dedupedSchema)
+      assert(all.count() == big.toLong)
+      assert(all.select("fp").distinct().count() == big.toLong)
+    } finally {
+      spark.conf.unset("graft.dedup.broadcastProbeRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  test("clusterParts scales with staged rows above the fixed floor") {
+    assert(Pipelines.clusterParts(spark, 0L) == Pipelines.DedupClusterParts)
+    assert(Pipelines.clusterParts(spark, 100000L) == Pipelines.DedupClusterParts)
+    val perPart = 262144L
+    assert(Pipelines.clusterParts(spark, perPart * 100L) == 100)
+    assert(Pipelines.clusterParts(spark, perPart * 100L + 1L) == 101)
+    spark.conf.set("graft.dedup.clusterRowsPerPart", "10")
+    try assert(Pipelines.clusterParts(spark, 200L) == 20)
+    finally spark.conf.unset("graft.dedup.clusterRowsPerPart")
   }
 
   test("dedup probe after compacting a mixed legacy corpus never re-admits duplicates") {
