@@ -82,13 +82,17 @@ object PlanAudit {
           "from maxHamming (pigeonhole recall); production calls materialize the " +
           "pair set and unpersist."),
       "pipeline_dedup_turn" ->
-        ("The round-6 INVERTED incremental-dedup probe (one pipeline turn against a " +
+        ("The INVERTED incremental-dedup probe (one pipeline turn against a " +
           "committed deduped corpus): the corpus scan reads only (fp, fp64) over a " +
           "ManifestFileIndex with the batch's fp64 digests pushed as an IN filter " +
           "(PushedFilters + manifest file skipping on the range-clustered layout), " +
           "and NO Exchange appears anywhere above the corpus scan — the batch side " +
-          "broadcasts instead. Round 5 sort-merge-anti-joined the batch against the " +
-          "corpus, shuffling the full accumulated digest column every turn."))
+          "broadcasts instead. Round 7: in-batch winners are derived SKINNY " +
+          "(groupBy(fp64, fp) -> min(url), materialized as an ExistingRDD) and " +
+          "survivors re-attach by a digest semi-join, so the batch TEXT never " +
+          "rides an exchange either — round 6's row_number window shuffled the " +
+          "full batch rows every turn. Round 5 sort-merge-anti-joined the batch " +
+          "against the corpus, shuffling the full accumulated digest column."))
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan audit (generated by graft.PlanAudit)\n\n")

@@ -1181,7 +1181,7 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
     * analyzer. IN semantics match the semi-join exactly: null keys never
     * equal anything, so both shapes locate rows with a NON-NULL key match.
     */
-  private[spark] def keyedLocateFiles(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def keyedLocateFiles(spark: org.apache.spark.sql.SparkSession,
       schema: org.apache.spark.sql.types.StructType, parent: Long,
       keys: org.apache.spark.sql.DataFrame, keyCol: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
