@@ -248,14 +248,21 @@ object Dedup {
     labels
   }
 
-  /** Exact n-gram Jaccard for a candidate pair set (verification pass after LSH). */
+  /** Exact n-gram Jaccard for a candidate pair set (verification pass after
+    * LSH). The shingle set is derived ONCE PER DOC and attached to the pairs
+    * by the two id-joins (round 7): a doc in k candidate pairs was
+    * previously re-tokenized and re-hashed 2k times by the per-pair UDF —
+    * the dominant cost of the verify stage at any pair volume. Same values:
+    * jaccard(shingles(a), shingles(b)) factored across the join.
+    */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    val t = docs.select(col(idCol).cast("long").as("id"),
+      Functions.shinglesUdf(col(textCol)).as("sh"))
     pairs
-      .join(t.withColumnRenamed("id", "a").withColumnRenamed("t", "ta"), Seq("a"))
-      .join(t.withColumnRenamed("id", "b").withColumnRenamed("t", "tb"), Seq("b"))
-      .withColumn("jaccard_exact", Functions.jaccardUdf(col("ta"), col("tb")))
-      .drop("ta", "tb")
+      .join(t.withColumnRenamed("id", "a").withColumnRenamed("sh", "sha"), Seq("a"))
+      .join(t.withColumnRenamed("id", "b").withColumnRenamed("sh", "shb"), Seq("b"))
+      .withColumn("jaccard_exact", Functions.jaccardSetsUdf(col("sha"), col("shb")))
+      .drop("sha", "shb")
   }
 
   /** A corpus with synthetic near-duplicates injected (id + offset, last word

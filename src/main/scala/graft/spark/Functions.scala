@@ -84,6 +84,19 @@ object Functions {
   val jaccardUdf = udf((a: String, b: String) =>
     TextStats.jaccard(TextStats.shingles(if (a == null) "" else a),
       TextStats.shingles(if (b == null) "" else b)))
+  /** [[jaccardUdf]] factored for pair verification at scale (round 7): the
+    * shingle set is computed ONCE PER DOC and attached to candidate pairs
+    * by the id-joins; the per-pair work is then the set arithmetic alone.
+    * jaccardSets(shinglesOf(a), shinglesOf(b)) == jaccardUdf(a, b) by
+    * construction — same kernel functions, same Double — while the pair-
+    * side UDF no longer re-tokenizes and re-hashes both texts per pair
+    * (measured ~5 s of t12's 15 s at sf0.1: 169k pairs re-shingled 338k
+    * texts where 10k docs suffice).
+    */
+  val shinglesUdf = udf((t: String) =>
+    TextStats.shingles(if (t == null) "" else t).toSeq)
+  val jaccardSetsUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+    TextStats.jaccard(a.toArray, b.toArray))
   val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) =>
     if (a == null || b == null) 0.0 else TextStats.cosine(a.toArray, b.toArray))
   val embedLshUdf = udf((v: Seq[Float]) =>

@@ -57,11 +57,19 @@ object Queries {
   private def wsToks(c: org.apache.spark.sql.Column) =
     split(regexp_replace(c,
       "(\\A[ \\t\\n\\x0B\\f\\r]+)|([ \\t\\n\\x0B\\f\\r]+\\z)", ""), "\\s+")
-  private def triShingles(c: org.apache.spark.sql.Column) = {
-    val t = wsToks(c)
+  // shingles over an ALREADY-MATERIALIZED token-array column. Round 7:
+  // passing the tokenize expression itself as `t` inlined a regexp_replace +
+  // split into every size/element_at reference INSIDE the per-element
+  // lambda — O(tokens) re-tokenizations per row per consumer, measured as
+  // t11 taking 101 s at sf0.1 for ~1M shingle hashes. Callers bind `t` to a
+  // withColumn'd token array (an attribute read in the lambda) instead; a
+  // non-cheap alias referenced more than once is never collapsed back into
+  // its consumers by CollapseProject, so the array is computed once per row.
+  private def triShinglesOf(t: org.apache.spark.sql.Column) =
     transform(sequence(lit(1), size(t) - 2), i =>
       concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
-  }
+  private def triShingles(c: org.apache.spark.sql.Column) =
+    triShinglesOf(wsToks(c))
   private def injectedLowerCorpus(s: SparkSession, dir: String, minToks: Int): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), lower(col("text")).as("text"))
       .filter(size(wsToks(col("text"))) >= minToks)
@@ -1061,11 +1069,17 @@ object Queries {
       // whole signature oracle-checks. Pure built-ins (split/transform/
       // sequence/md5/array_min), fully codegen — t06 keeps the production
       // Hash64 signature (rows-only; that family isn't SQL-portable).
+      // token + shingle arrays materialized ONCE per row (round 7): the four
+      // signature expressions previously each instantiated their own
+      // triShingles tree, which additionally re-tokenized per element inside
+      // the lambda — 101 s at sf0.1; same values, 0.6 s after
       val sigs = (0 until 4).map(j =>
-        array_min(transform(triShingles(col("text")), sh =>
+        array_min(transform(col("__sh"), sh =>
           md5(concat(sh, lit("#" + j))))).as(s"sig$j"))
       docs(s, dir)
-        .filter(size(wsToks(col("text"))) >= 3)
+        .withColumn("__toks", wsToks(col("text")))
+        .filter(size(col("__toks")) >= 3)
+        .withColumn("__sh", triShinglesOf(col("__toks")))
         .select(col("doc_id") +: sigs: _*)
         .orderBy("doc_id")
     }),
@@ -1078,7 +1092,11 @@ object Queries {
       // itself oracle-checks — t07 keeps the production Hash64/16-band
       // operator (rows-only; that family isn't SQL-portable).
       val corpus = injectedLowerCorpus(s, dir, minToks = 5)
-      val banded = corpus.select(col("doc_id"), triShingles(col("text")).as("sh"))
+      // tokens materialized before shingling (round 7, see triShinglesOf):
+      // the shingle lambda otherwise re-tokenizes per element
+      val banded = corpus
+        .withColumn("__toks", wsToks(col("text")))
+        .select(col("doc_id"), triShinglesOf(col("__toks")).as("sh"))
         .select(col("doc_id"), posexplode(array((0 until 4).map(j =>
           array_min(transform(col("sh"), x => md5(concat(x, lit("#" + j)))))): _*))
           .as(Seq("band", "key")))
@@ -1102,14 +1120,21 @@ object Queries {
       // arithmetic — shifts, votes, popcount — replays in DuckDB (t08 keeps
       // the production 64-bit Hash64 signature, rows-only).
       val corpus = injectedLowerCorpus(s, dir, minToks = 5)
-      val hvs = transform(wsToks(col("text")),
+      // per-token hash array materialized ONCE per row (round 7): the 16
+      // per-bit vote aggregates each referenced the hash expression, which
+      // re-tokenized and re-hashed every token 16 times — same values, one
+      // tokenize + md5 pass, 16 integer folds over the column
+      val hvs = transform(col("__toks"),
         t => conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
       val sig = (0 until 16).map(b =>
-        when(aggregate(hvs, lit(0), (acc, hv) =>
+        when(aggregate(col("__hv"), lit(0), (acc, hv) =>
           acc + when(hv.bitwiseAND(lit(1 << b)) > 0, lit(1)).otherwise(lit(-1))) >= 0,
           lit(1 << b)).otherwise(lit(0)))
         .reduce(_ + _)
-      val sigs = corpus.select(col("doc_id").as("id"), sig.as("sig"))
+      val sigs = corpus
+        .withColumn("__toks", wsToks(col("text")))
+        .withColumn("__hv", hvs)
+        .select(col("doc_id").as("id"), sig.as("sig"))
       val banded = sigs.select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(k =>
           shiftright(col("sig"), k * 4).bitwiseAND(lit(15))): _*))
@@ -1119,10 +1144,17 @@ object Queries {
       val xorSig = col("sa").bitwiseXOR(col("sb"))
       val hamming = (0 until 16).map(b =>
         shiftright(xorSig, b).bitwiseAND(lit(1))).reduce(_ + _)
+      // hamming <= 3 BEFORE the aggregate (round 7): the distance is a pure
+      // function of the two signatures, hence identical for every (a, b)
+      // discovery row, so pre-filtering keeps exactly the groups the
+      // post-aggregate filter kept and min() is unchanged — but the coarse
+      // 4-bit blocks join ~12M candidate rows at sf0.1, and filtering them
+      // join-side (codegen int ops) keeps that volume out of the groupBy
+      // exchange. Production simHashPairs already had this shape.
       l.join(r, Seq("blk", "key")).filter(col("a") < col("b"))
         .select(col("a"), col("b"), hamming.as("hamming"))
-        .groupBy("a", "b").agg(min("hamming").cast("long").as("hamming"))
         .filter(col("hamming") <= 3)
+        .groupBy("a", "b").agg(min("hamming").cast("long").as("hamming"))
         .orderBy("a", "b")
     }),
     "t06_minhash_sig" -> ((s, dir) => {
