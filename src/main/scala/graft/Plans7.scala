@@ -127,6 +127,34 @@ object Plans7 {
     val (afterLocate, _) = delLog.keyedLocateFiles(spark, delSchema, 0L, drops, "id")
     dump("delete_locate_after", afterLocate)
 
+    // 5. t11 signature derivation: r6 instantiated four shingle trees whose
+    //    lambdas re-tokenized per element; r7 materializes token + shingle
+    //    arrays once per row (visible as the extra Project aliases feeding
+    //    all four signature expressions)
+    val sfDir = "/root/testdata/sf0.001"
+    def wsToks(c: org.apache.spark.sql.Column) =
+      split(regexp_replace(c,
+        "(\\A[ \\t\\n\\x0B\\f\\r]+)|([ \\t\\n\\x0B\\f\\r]+\\z)", ""), "\\s+")
+    def triShinglesOf(t: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
+    val docsDF = spark.read.parquet(s"$sfDir/documents.parquet")
+    dump("t11_minhash_twin_before", {
+      val sigs = (0 until 4).map(j =>
+        array_min(transform(triShinglesOf(wsToks(col("text"))), sh =>
+          md5(concat(sh, lit("#" + j))))).as(s"sig$j"))
+      docsDF.filter(size(wsToks(col("text"))) >= 3)
+        .select(col("doc_id") +: sigs: _*).orderBy("doc_id")
+    })
+    dump("t11_minhash_twin_after", SparkEntry.queries("t11_minhash_twin")(spark, sfDir))
+    // 6. t13: 16 vote aggregates each re-deriving the per-token hash array,
+    //    hamming filter after the groupBy; r7 materializes the array once
+    //    and filters join-side (Filter below the HashAggregate in the plan)
+    dump("t13_simhash_twin_after", SparkEntry.queries("t13_simhash_twin")(spark, sfDir))
+    // 7. verifyJaccard consumers (t09/t12/t15/t17): per-doc shingle UDF
+    //    attached by the id-joins, per-pair UDF is set arithmetic only
+    dump("t09_jaccard_verify_after", SparkEntry.queries("t09_jaccard_verify")(spark, sfDir))
+
     SparkEntry.deleteRecursively(work)
     spark.stop()
   }
