@@ -1513,7 +1513,23 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
               s"and $toSnapshot — a rewrite is not an append and must not be " +
               "replayed as one; restart the stream from a fresh checkpoint " +
               "to reprocess the rewritten table")
-        readSegments(toSegs.filterNot(fromSet))
+        val added = toSegs.filterNot(fromSet)
+        // a rewrite CONFINED to segments added inside this window leaves the
+        // `from` segments intact, so the subset check alone passes while the
+        // diff would deliver `-rw`/`-cp` survivor segments — row-level
+        // rewrite output, not appends. Same loud verdict as the subset
+        // check, keyed on the rewrite-tagged segment NAMES (round-6 ADVICE).
+        if (added.exists { sg =>
+          val n = new HPath(sg).getName
+          n.matches("seg-\\d+-(rw|cp).*")
+        })
+          throw new IllegalStateException(
+            s"streaming tail crossed a table rewrite between snapshots $f " +
+              s"and $toSnapshot (rewrite-tagged segments in the window) — a " +
+              "rewrite is not an append and must not be replayed as one; " +
+              "restart the stream from a fresh checkpoint to reprocess the " +
+              "rewritten table")
+        readSegments(added)
     }
     val entries = meta.map(m => ManifestEntry(m.path,
       m.size.getOrElse(io.len(new HPath(m.path))), m.stats))

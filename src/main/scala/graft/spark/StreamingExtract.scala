@@ -30,6 +30,13 @@ object StreamingExtract {
     * exactly-once silently broken (round-5 ADVICE, medium). First-start races
     * settle on the marker's CAS ([[GraftIo.casPromoteFile]]): the loser
     * adopts the winner's id.
+    *
+    * UPGRADE NOTE (round-6 ADVICE, low): a checkpoint created by the
+    * round-5 path-string scheme has no marker, so its first restart under
+    * this code mints a fresh id and the replayed in-flight batch misses the
+    * old txn watermark — upgrade such a stream only after it has DRAINED
+    * (no in-flight batch), or pre-seed `graft-app-id` in the checkpoint dir
+    * with the legacy `<kind>:<checkpointDir>` string before restarting.
     */
   def resolveAppId(checkpointDir: String, kind: String): String = {
     val io = new GraftIo(checkpointDir, SnapshotLog.defaultHadoopConf())
