@@ -63,6 +63,28 @@ object Plans7 {
       .drop("ok").repartition(8, col("bucket")))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
+    // 1b. bloom middle regime (round 7, "not yet optimized" item 2): between
+    //     the broadcast budget and the sort-merge fallback, bloom-negative
+    //     pages are PROVEN pending and stay scan-local (no Exchange in that
+    //     union branch); only the maybe-subset anti-joins the done set.
+    //     The batch is dumped parquet-backed so the UDF filter stays visible
+    //     (ConvertToLocalRelation pre-evaluates it over a local fixture).
+    {
+      val pagesPath = s"$work/pages_parquet"
+      batch.toDF().write.mode("overwrite").parquet(pagesPath)
+      val batchFs = spark.read.schema(Schemas.pagesSchema).parquet(pagesPath)
+      val bf = done.stat.bloomFilter("url", 4000L, 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val maybeDone =
+        udf((u: String) => u != null && bfB.value.mightContainString(u))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      dump("extract_resume_bloom_after",
+        batchFs.filter(!maybeDone(col("url")))
+          .unionByName(batchFs.filter(maybeDone(col("url")))
+            .join(done, Seq("url"), "left_anti")))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+
     // 2. incremental scan: r6 handed bare paths to spark.read.parquet
     //    (InMemoryFileIndex — a driver listing job re-stats every file);
     //    r7 plans from the manifest (ManifestFileIndex, zero fs calls)

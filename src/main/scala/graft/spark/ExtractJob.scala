@@ -116,24 +116,59 @@ object ExtractJob {
     // (plan-audited; measured as two concurrent ~3 s stages per bench
     // pipeline turn, growing with the table). AQE could only downgrade the
     // join AFTER the pages side's shuffle map stage had already materialized,
-    // which is where the cost lives. The done side's true row count is read
-    // with a metadata-only count (column-pruned parquet count = footer row
-    // counts, no data pages); below the budget the done urls broadcast and
-    // the payload never leaves its scan partitions. Above it (a 100 TB
-    // resume against billions of done urls) the sort-merge anti-join IS the
-    // correct plan — at that overlap the batch payload must co-partition
-    // with the done set — so the fallback stays, loudly shaped, and the
-    // budget is a conf, not a constant tuned to this sandbox.
+    // which is where the cost lives. The done side's true row count comes
+    // straight from the manifest (per-file `#n=` counts recorded at commit
+    // from the same footer open the stats pay for — zero Spark jobs, round
+    // 7); a table holding any legacy pre-count entry degrades to a
+    // metadata-only count job (column-pruned parquet count = footer row
+    // counts, no data pages). Below the budget the done urls broadcast and
+    // the payload never leaves its scan partitions.
+    //
+    // MIDDLE REGIME (guide §3.2, round 7): past the broadcast budget but
+    // under `graft.extract.bloomDoneRows`, a Bloom filter over the done urls
+    // (~1.2 GB per billion keys at 1% fpp — `graft.extract.bloomFpp`) splits
+    // the pages scan: bloom-NEGATIVE rows are PROVEN pending (no false
+    // negatives) and flow to the kernel scan-local, only the maybe-subset —
+    // true matches plus fpp — anti-joins the done set, so the payload
+    // exchange shrinks from O(pages) to O(pages ∩ done). The cost is a
+    // second pages scan (one branch each), the §8 trade: scans are local
+    // columnar reads, the shuffle is the network. `pages` must be
+    // deterministic between the two branch evaluations — every caller hands
+    // a committed-file scan.
+    //
+    // Above the bloom budget (a 100 TB resume against billions of done
+    // urls) the sort-merge anti-join IS the correct plan — at that overlap
+    // the batch payload must co-partition with the done set — so the
+    // fallback stays, loudly shaped. All three budgets are confs, not
+    // constants tuned to this sandbox.
     val pending =
       if (force) pages
       else {
-        val done = log.scan(spark, Schemas.extractedSchema).select("url")
-        val doneRows = done.count()
+        val meta = log.currentSnapshot().map(log.metaAt).getOrElse(Seq.empty)
+        val done = log.scanEntries(spark, Schemas.extractedSchema, meta)
+          .select("url")
+        val doneRows = SnapshotLog.rowCountOf(meta).getOrElse(done.count())
         val budget = spark.conf.get(
           "graft.extract.broadcastDoneRows", "4000000").toLong
+        val bloomBudget = spark.conf.get(
+          "graft.extract.bloomDoneRows", "100000000").toLong
         if (doneRows <= budget)
           pages.join(broadcast(done), Seq("url"), "left_anti").as[Schemas.Page]
-        else pages.join(done, Seq("url"), "left_anti").as[Schemas.Page]
+        else if (doneRows <= bloomBudget) {
+          val fpp = spark.conf.get("graft.extract.bloomFpp", "0.01").toDouble
+          val bf = done.stat.bloomFilter("url", math.max(doneRows, 1L), fpp)
+          val bfB = spark.sparkContext.broadcast(bf)
+          // null url ⇒ NOT maybe: SQL null matches nothing in an anti-join,
+          // so such a row is pending — routing it through the proven-pending
+          // branch preserves that without the UDF touching null. The
+          // broadcast is reclaimed by the ContextCleaner when run() returns.
+          val maybeDone =
+            udf((u: String) => u != null && bfB.value.mightContainString(u))
+          val proven = pages.filter(!maybeDone(col("url")))
+          val checked = pages.toDF().filter(maybeDone(col("url")))
+            .join(done, Seq("url"), "left_anti")
+          proven.toDF().unionByName(checked).as[Schemas.Page]
+        } else pages.join(done, Seq("url"), "left_anti").as[Schemas.Page]
       }
 
     val snapshotId = log.nextSnapshotId()

@@ -114,6 +114,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(metrics.agg(sum("doc_count")).head().getLong(0) == corpusSize)
   }
 
+  test("resume anti-join regimes: broadcast, bloom middle, and sort-merge agree") {
+    val sp = spark; import sp.implicits._
+    val all = spark.createDataset(fixture)
+    val half = spark.createDataset(fixture.take(corpusSize / 2))
+    // run the half-then-full resume sequence under forced join regimes and
+    // compare final table content — the regime must never change the answer
+    def runWith(confs: (String, String)*): Seq[org.apache.spark.sql.Row] = {
+      val dir = tmpDir("regime")
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        ExtractJob.run(spark, half, dir, numBuckets = 8)
+        ExtractJob.run(spark, all, dir, numBuckets = 8)
+        // the regime's anti-join must also prove "nothing pending" exactly
+        assert(ExtractJob.run(spark, all, dir, numBuckets = 8).isEmpty)
+        ExtractJob.readExtracted(spark, dir)
+          .select("url", "kind", "text", "checksum").orderBy("url")
+          .collect().toSeq
+      } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val viaBroadcast = runWith() // defaults: done fits the broadcast budget
+    val viaBloom = runWith("graft.extract.broadcastDoneRows" -> "0")
+    val viaSortMerge = runWith(
+      "graft.extract.broadcastDoneRows" -> "0",
+      "graft.extract.bloomDoneRows" -> "0")
+    assert(viaBroadcast.nonEmpty && viaBroadcast.size == corpusSize)
+    assert(viaBloom == viaBroadcast,
+      "bloom middle regime must produce the identical table")
+    assert(viaSortMerge == viaBroadcast,
+      "sort-merge fallback must produce the identical table")
+  }
+
   test("success gate: <0.9 ok ratio aborts the snapshot (A1)") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("gate")

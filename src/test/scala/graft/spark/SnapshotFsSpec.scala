@@ -272,6 +272,39 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .flatMap(_.files).size == 4)
   }
 
+  test("manifest row counts: stats commits record #n; rowCountOf is exact or None") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("rowcount")
+    val log = new SnapshotLog(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.IntegerType)))
+
+    // stats commit: the row count rides the footer open the stats pay for
+    (0L until 120L).map(i => (i, (i % 5).toInt)).toDF("id", "bucket")
+      .repartition(3).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L, statsColumns = Seq("bucket"))
+    val m0 = log.metaAt(0L)
+    assert(m0.nonEmpty && m0.forall(_.rows.isDefined),
+      s"a stats commit must record per-file rows: $m0")
+    assert(SnapshotLog.rowCountOf(m0).contains(120L),
+      s"manifest row count must equal the true count: ${SnapshotLog.rowCountOf(m0)}")
+    assert(SnapshotLog.rowCountOf(Seq.empty).contains(0L), "empty table = 0 rows")
+
+    // stats-free commit: rows deliberately unrecorded (no footer IO), and a
+    // partial inventory must degrade to None — a sum over it would be a
+    // wrong answer, not an estimate
+    (0L until 30L).map(i => (1000L + i, 9)).toDF("id", "bucket")
+      .repartition(2).write.mode("overwrite").parquet(log.stageDataDir(1L))
+    log.commit(1L)
+    val m1 = log.metaAt(1L)
+    assert(m1.exists(_.rows.isEmpty), s"stats-free entries must not carry rows: $m1")
+    assert(m1.exists(_.rows.isDefined), "parent's counted entries are carried")
+    assert(SnapshotLog.rowCountOf(m1).isEmpty,
+      "any uncounted entry must force the counting fallback")
+    assert(log.scan(spark, schema).count() == 150L) // ground truth intact
+  }
+
   test("file:-scheme ANN index: publish, manifest serving, and GC through Hadoop FS") {
     val sp = spark; import sp.implicits._
     val emb = Seq.tabulate(200)(i =>
