@@ -141,35 +141,7 @@ object ExtractJob {
     // the batch payload must co-partition with the done set — so the
     // fallback stays, loudly shaped. All three budgets are confs, not
     // constants tuned to this sandbox.
-    val pending =
-      if (force) pages
-      else {
-        val meta = log.currentSnapshot().map(log.metaAt).getOrElse(Seq.empty)
-        val done = log.scanEntries(spark, Schemas.extractedSchema, meta)
-          .select("url")
-        val doneRows = SnapshotLog.rowCountOf(meta).getOrElse(done.count())
-        val budget = spark.conf.get(
-          "graft.extract.broadcastDoneRows", "4000000").toLong
-        val bloomBudget = spark.conf.get(
-          "graft.extract.bloomDoneRows", "100000000").toLong
-        if (doneRows <= budget)
-          pages.join(broadcast(done), Seq("url"), "left_anti").as[Schemas.Page]
-        else if (doneRows <= bloomBudget) {
-          val fpp = spark.conf.get("graft.extract.bloomFpp", "0.01").toDouble
-          val bf = done.stat.bloomFilter("url", math.max(doneRows, 1L), fpp)
-          val bfB = spark.sparkContext.broadcast(bf)
-          // null url ⇒ NOT maybe: SQL null matches nothing in an anti-join,
-          // so such a row is pending — routing it through the proven-pending
-          // branch preserves that without the UDF touching null. The
-          // broadcast is reclaimed by the ContextCleaner when run() returns.
-          val maybeDone =
-            udf((u: String) => u != null && bfB.value.mightContainString(u))
-          val proven = pages.filter(!maybeDone(col("url")))
-          val checked = pages.toDF().filter(maybeDone(col("url")))
-            .join(done, Seq("url"), "left_anti")
-          proven.toDF().unionByName(checked).as[Schemas.Page]
-        } else pages.join(done, Seq("url"), "left_anti").as[Schemas.Page]
-      }
+    val pending = if (force) pages else pendingPages(spark, pages, log)._1
 
     val snapshotId = log.nextSnapshotId()
     val obs = Observation(s"gate-$snapshotId")
@@ -204,6 +176,79 @@ object ExtractJob {
       snapshotId, wallMs)
       .write.mode("append").parquet(s"$tableDir/metrics")
     Some(snapshotId)
+  }
+
+  /** The resume pending-set derivation (see run()'s regime walkthrough).
+    * Returns the frame plus the regime actually chosen ("broadcast" |
+    * "bloom" | "shuffle") so tests can pin that a forced conf really
+    * selected its branch — a silently-renamed conf key would otherwise turn
+    * the regime tests into three copies of the broadcast test.
+    */
+  private[spark] def pendingPages(spark: SparkSession,
+      pages: Dataset[Schemas.Page], log: SnapshotLog)
+      : (Dataset[Schemas.Page], String) = {
+    import spark.implicits._
+    val meta = log.currentSnapshot().map(log.metaAt).getOrElse(Seq.empty)
+    val done = log.scanEntries(spark, Schemas.extractedSchema, meta)
+      .select("url")
+    val doneRows = SnapshotLog.rowCountOf(meta).getOrElse(done.count())
+    val budget = spark.conf.get(
+      "graft.extract.broadcastDoneRows", "4000000").toLong
+    val bloomBudget = spark.conf.get(
+      "graft.extract.bloomDoneRows", "100000000").toLong
+    if (doneRows <= budget)
+      (pages.join(broadcast(done), Seq("url"), "left_anti").as[Schemas.Page],
+        "broadcast")
+    else if (doneRows <= bloomBudget) {
+      val fpp = spark.conf.get("graft.extract.bloomFpp", "0.01").toDouble
+      val bf = buildUrlBloom(spark, done, doneRows, fpp)
+      val bfB = spark.sparkContext.broadcast(bf)
+      // null url ⇒ NOT maybe: SQL null matches nothing in an anti-join,
+      // so such a row is pending — routing it through the proven-pending
+      // branch preserves that without the UDF touching null. The
+      // broadcast is reclaimed by the ContextCleaner when run() returns.
+      val maybeDone =
+        udf((u: String) => u != null && bfB.value.mightContainString(u))
+      val proven = pages.filter(!maybeDone(col("url")))
+      val checked = pages.toDF().filter(maybeDone(col("url")))
+        .join(done, Seq("url"), "left_anti")
+      (proven.toDF().unionByName(checked).as[Schemas.Page], "bloom")
+    } else
+      (pages.join(done, Seq("url"), "left_anti").as[Schemas.Page], "shuffle")
+  }
+
+  /** Build the done-url Bloom filter at the REQUESTED capacity. Spark 4's
+    * `stat.bloomFilter` routes through `BloomFilterAggregate`, which
+    * silently clamps the filter to the runtime-filter caps
+    * (`spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`,
+    * defaults 4M items / 8 MB) — measured: a 10M-key build came back at
+    * exactly 67,108,864 bits with ~10% fp instead of the requested 1%, and
+    * at the regime's 10^8 top end the filter would saturate toward fp ≈ 1
+    * (every page "maybe done" — the whole payload back in the anti-join
+    * shuffle, plus a wasted scan). The middle regime only ever runs ABOVE
+    * the 4M broadcast budget, so the default caps bind across its entire
+    * range. Raise both caps to the requested size for the (eager) build
+    * and restore them after — they also govern the optimizer's AUTOMATIC
+    * runtime-filter injection, which must keep its own budget.
+    */
+  private def buildUrlBloom(spark: SparkSession,
+      done: org.apache.spark.sql.DataFrame, doneRows: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
+    val items = math.max(doneRows, 1L)
+    val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.getOption(itemsKey)
+    val oldBits = spark.conf.getOption(bitsKey)
+    def restore(key: String, old: Option[String]): Unit =
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    spark.conf.set(itemsKey, math.max(items, 4000000L).toString)
+    spark.conf.set(bitsKey, math.max(bits, 67108864L).toString)
+    try done.stat.bloomFilter("url", items, fpp)
+    finally { restore(itemsKey, oldItems); restore(bitsKey, oldBits) }
   }
 
   /** The per-bucket lineage aggregation — ONE definition shared by run()'s

@@ -217,16 +217,20 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         val size = if (parts.length >= 3) parts(2).toLong else -1L
         // `#n=<rows>`: the file's exact row count (round 7). Parsed before
         // the stats fields ('#' can never start a stats column name this
-        // writer emits); absent or malformed reads as None — the
-        // conservative default legacy entries get for free. A pre-round-7
-        // reader drops the field in its stats parse (no `..` range), so the
-        // format stays readable both ways.
-        val rows = parts.drop(3).collectFirst {
+        // writer emits); absent, malformed or NEGATIVE reads as None — the
+        // conservative default legacy entries get for free (negative
+        // mirrors the size field's `-1 = unknown` convention: summing a
+        // sentinel into rowCountOf would under-count and mis-pick the
+        // broadcast regime). A pre-round-7 reader drops the field in its
+        // stats parse (no `..` range), so the format stays readable both
+        // ways.
+        val fields = parts.drop(3)
+        val rows = fields.collectFirst {
           case f if f.startsWith("#n=") =>
-            try Some(f.stripPrefix("#n=").toLong)
+            try Some(f.stripPrefix("#n=").toLong).filter(_ >= 0L)
             catch { case _: NumberFormatException => None }
         }.flatten
-        val stats = parts.drop(3).filterNot(_.startsWith("#n=")).flatMap { f =>
+        val stats = fields.filterNot(_.startsWith("#n=")).flatMap { f =>
           f.split('=') match {
             // string bounds: `col=s:<hexmin>..<hexmax|*>[..z]` (`*` = no
             // finite upper bound — all-0xFF truncated prefix; trailing `..z`

@@ -143,6 +143,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bloom middle regime must produce the identical table")
     assert(viaSortMerge == viaBroadcast,
       "sort-merge fallback must produce the identical table")
+
+    // the forced confs must actually SELECT their regimes — a renamed conf
+    // key would silently reduce the equality checks above to three copies
+    // of the broadcast run
+    val dir = tmpDir("regime_tag")
+    ExtractJob.run(spark, half, dir, numBuckets = 8)
+    val log = new SnapshotLog(dir)
+    def regimeOf(confs: (String, String)*)
+        : (String, org.apache.spark.sql.execution.SparkPlan) = {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val (df, tag) = ExtractJob.pendingPages(spark, all, log)
+        (tag, df.queryExecution.sparkPlan)
+      } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    assert(regimeOf()._1 == "broadcast")
+    val (bloomTag, bloomPlan) = regimeOf("graft.extract.broadcastDoneRows" -> "0")
+    assert(bloomTag == "bloom")
+    val union = bloomPlan.collectFirst {
+      case u: org.apache.spark.sql.execution.UnionExec => u }
+    assert(union.isDefined, s"bloom plan must union proven+checked:\n$bloomPlan")
+    assert(union.get.children.head.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty, "the bloom-negative (proven pending) branch must stay scan-local")
+    assert(regimeOf("graft.extract.broadcastDoneRows" -> "0",
+      "graft.extract.bloomDoneRows" -> "0")._1 == "shuffle")
   }
 
   test("success gate: <0.9 ok ratio aborts the snapshot (A1)") {

@@ -303,6 +303,21 @@ class SnapshotFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(SnapshotLog.rowCountOf(m1).isEmpty,
       "any uncounted entry must force the counting fallback")
     assert(log.scan(spark, schema).count() == 150L) // ground truth intact
+
+    // a NEGATIVE count — the size field's `-1 = unknown` convention, which
+    // a foreign writer could plausibly extend to #n — must read as
+    // "uncounted" (None), never be summed into rowCountOf
+    val metaP = java.nio.file.Paths.get(dir, "meta")
+    val seg0 = java.nio.file.Files.list(metaP)
+      .filter(p => p.getFileName.toString.startsWith("seg-0"))
+      .findFirst().get()
+    val poisoned = new String(java.nio.file.Files.readAllBytes(seg0), "UTF-8")
+      .replaceAll("\t#n=\\d+", "\t#n=-1")
+    java.nio.file.Files.write(seg0, poisoned.getBytes("UTF-8"))
+    val m0p = log.metaAt(0L)
+    assert(m0p.forall(_.rows.isEmpty),
+      s"negative #n must parse as uncounted: $m0p")
+    assert(SnapshotLog.rowCountOf(m0p).isEmpty)
   }
 
   test("file:-scheme ANN index: publish, manifest serving, and GC through Hadoop FS") {
