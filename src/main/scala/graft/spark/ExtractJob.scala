@@ -184,7 +184,7 @@ object ExtractJob {
     * selected its branch — a silently-renamed conf key would otherwise turn
     * the regime tests into three copies of the broadcast test.
     */
-  private[spark] def pendingPages(spark: SparkSession,
+  private[graft] def pendingPages(spark: SparkSession,
       pages: Dataset[Schemas.Page], log: SnapshotLog)
       : (Dataset[Schemas.Page], String) = {
     import spark.implicits._
