@@ -20,20 +20,27 @@ object AllQueriesProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.sparkContext.setJobDescription(name)
+      var failed = false
       val times = (0 to runs).map { i => // run 0 = warm-up, dropped
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => println(s"$name FAILED: $e") }
+        catch { case e: Throwable => failed = true; println(s"$name FAILED: $e") }
         (System.nanoTime() - t0) / 1e9
       }.drop(1)
       spark.sparkContext.setJobDescription(null)
-      val line = f"$name%-28s min=${times.min}%7.3f s  (${times.map(t => f"$t%.3f").mkString(",")})"
+      // a failing query must not masquerade as a fast one: its near-zero
+      // fail-fast wall time is excluded from the ranking entirely
+      val line =
+        if (failed) f"$name%-28s FAILED"
+        else f"$name%-28s min=${times.min}%7.3f s  (${times.map(t => f"$t%.3f").mkString(",")})"
       println(line)
       line
     }
     println("==== summary (slowest first) ====")
-    results.sortBy(l => -l.split("min=")(1).trim.split(" ")(0).toDouble)
+    results.filter(_.contains("min="))
+      .sortBy(l => -l.split("min=")(1).trim.split(" ")(0).toDouble)
       .take(15).foreach(println)
+    results.filterNot(_.contains("min=")).foreach(println)
     spark.stop()
   }
 }

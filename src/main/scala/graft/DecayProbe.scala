@@ -88,7 +88,8 @@ object DecayProbe {
         (System.nanoTime() - t0) / 1e9
       }
 
-      println(f"turn  0: files=${plannedFiles()._1}%4d planned16=${plannedFiles()._2}%4d dup_turn=${dupTurnSec()}%6.3f s")
+      val (files0, p160) = plannedFiles() // one sweep, like every later sample
+      println(f"turn  0: files=$files0%4d planned16=$p160%4d dup_turn=${dupTurnSec()}%6.3f s")
       (1 to turns).foreach { t =>
         val lo = baseRows + (t - 1).toLong * batchRows
         Pipelines.appendDeduped(spark, extractedRange(spark, lo, lo + batchRows), dd)

@@ -201,7 +201,7 @@ object ExtractJob {
         "broadcast")
     else if (doneRows <= bloomBudget) {
       val fpp = spark.conf.get("graft.extract.bloomFpp", "0.01").toDouble
-      val bf = buildUrlBloom(spark, done, doneRows, fpp)
+      val bf = buildUrlBloom(spark, log, meta, doneRows, fpp)
       val bfB = spark.sparkContext.broadcast(bf)
       // null url ⇒ NOT maybe: SQL null matches nothing in an anti-join,
       // so such a row is pending — routing it through the proven-pending
@@ -227,28 +227,25 @@ object ExtractJob {
     * (every page "maybe done" — the whole payload back in the anti-join
     * shuffle, plus a wasted scan). The middle regime only ever runs ABOVE
     * the 4M broadcast budget, so the default caps bind across its entire
-    * range. Raise both caps to the requested size for the (eager) build
-    * and restore them after — they also govern the optimizer's AUTOMATIC
-    * runtime-filter injection, which must keep its own budget.
+    * range. The caps are raised in an ISOLATED throwaway session
+    * (`newSession` — own SQLConf, shared SparkContext): they also govern
+    * the optimizer's AUTOMATIC runtime-filter injection, and raising them
+    * on the caller's session for the duration of a multi-second build
+    * would let any concurrently planned query (the streaming twin shares
+    * the session) size its own injected blooms with this unbounded budget.
     */
-  private def buildUrlBloom(spark: SparkSession,
-      done: org.apache.spark.sql.DataFrame, doneRows: Long,
+  private def buildUrlBloom(spark: SparkSession, log: SnapshotLog,
+      meta: Seq[SnapshotLog.FileMeta], doneRows: Long,
       fpp: Double): org.apache.spark.util.sketch.BloomFilter = {
     val items = math.max(doneRows, 1L)
     val bits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(items, fpp)
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = spark.conf.getOption(itemsKey)
-    val oldBits = spark.conf.getOption(bitsKey)
-    def restore(key: String, old: Option[String]): Unit =
-      old match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-    spark.conf.set(itemsKey, math.max(items, 4000000L).toString)
-    spark.conf.set(bitsKey, math.max(bits, 67108864L).toString)
-    try done.stat.bloomFilter("url", items, fpp)
-    finally { restore(itemsKey, oldItems); restore(bitsKey, oldBits) }
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(items, 4000000L).toString)
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(bits, 67108864L).toString)
+    log.scanEntries(s, Schemas.extractedSchema, meta).select("url")
+      .stat.bloomFilter("url", items, fpp)
   }
 
   /** The per-bucket lineage aggregation — ONE definition shared by run()'s

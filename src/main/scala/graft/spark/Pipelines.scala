@@ -325,11 +325,16 @@ object Pipelines {
       broadcastable, attach)
   }
 
-  /** [[dedupSurvivors]]'s result: the survivor frame (probe/audit surface),
-    * the persisted skinny winner frame (unpersist it when done — the ONLY
-    * cache the probe creates), the regime flags, the skinny surviving-key
-    * frame `(fp64, fp, url)` the append stage counts and re-attaches from,
-    * and the re-attach constructor (keys frame, broadcast?) => full rows.
+  /** [[dedupSurvivors]]'s result: the survivor frame (probe/audit surface;
+    * NOTE it carries EVERY batch row whose digest survived — per-digest
+    * multiplicity included, unlike round 6's one-representative frame — the
+    * winner pick happens at the clustered write, so `survivors.count()` can
+    * exceed the committed/appended row count when a batch holds intra-batch
+    * duplicates; count `keys` for the committed cardinality), the persisted
+    * skinny winner frame (unpersist it when done — the ONLY cache the probe
+    * creates), the regime flags, the skinny surviving-key frame
+    * `(fp64, fp, url)` the append stage counts and re-attaches from, and
+    * the re-attach constructor (keys frame, broadcast?) => full rows.
     */
   private[spark] final case class ProbeResult(survivors: DataFrame,
       reps: DataFrame, smallBatch: Boolean, keys: DataFrame,
@@ -339,7 +344,10 @@ object Pipelines {
     * CURRENT deduped snapshot, without committing — what PlanAudit dumps to
     * PLANS.md so the no-corpus-exchange claim is inspectable, not just
     * test-asserted. Returns (survivors, persisted reps handle — unpersist it
-    * once the plan/result is consumed).
+    * once the plan/result is consumed). Multiplicity caveat: since round 7
+    * the frame keeps every row of a surviving digest (the min-url winner
+    * pick moved to the clustered write), so its row count upper-bounds — and
+    * with intra-batch duplicates exceeds — what a commit would append.
     */
   def probeSurvivors(spark: SparkSession, fresh: DataFrame,
       dedupedDir: String): (DataFrame, DataFrame) = {

@@ -1015,12 +1015,15 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
   }
 
   /** True iff the snapshot's own segments include REWRITE-tagged ones —
-    * `-rw<N>` survivor segments of a row-level delete/upsert
-    * ([[commitRewrite]]) or the `-cp` segment of a [[compact]] — i.e. its
+    * `-rw<N>` survivor segments AND the `-rw-` fresh staged segment of a
+    * row-level delete/upsert ([[commitRewrite]]; the fresh tag is round 7 —
+    * without it a rewrite that dropped every affected segment whole carried
+    * no tag at all), or the `-cp` segment of a [[compact]] — i.e. its
     * commit re-filed rows that already existed rather than (only) staging
     * fresh content. Lineage attribution branches on this: backfilling such a
     * commit's files as new lineage would double-count every carried-over
-    * row. Tags cannot collide with optimistic-commit tokens (hex-only).
+    * row. Tags cannot collide with optimistic-commit tokens (hex-only:
+    * neither `rw` nor `cp` is a hex digit pair).
     */
   def hasRewriteSegments(snapshotId: Long): Boolean =
     io.exists(manifestPath(snapshotId)) && parseList(snapshotId)._1.exists { s =>
@@ -1470,7 +1473,17 @@ final class SnapshotLog(tableDir: String, hadoopConf: Configuration) {
         }
       }
     }
-    val segments = writeSegment(s"seg-$id-$token.txt", id, carried, keptInline,
+    // the FRESH segment is rw-tagged too (round-7 review): it holds RE-FILED
+    // survivors of the removed files (plus an upsert's merged rows) — rewrite
+    // output, not appends. Without the tag, a rewrite whose affected
+    // segments were all dropped WHOLE (every file touched — the common shape
+    // when uniformly-hashed keys blanket a segment) left no `-rw<N>` segment
+    // at all, so (a) a streaming tail whose window contained both the append
+    // and the rewrite passed the name guard and replayed rewrite output as
+    // appends, and (b) a rewrite covering a single-segment table
+    // misclassified as a replace (isRewriteOf false, isSelfContained true),
+    // which an expired-parent lineage backfill would then double-count.
+    val segments = writeSegment(s"seg-$id-rw-$token.txt", id, carried, keptInline,
       stagedStatuses(dataDirPath(id)), statsColumns)
     if (promoteManifest(id, parent, segments, tmpName = s"snap-$id.txt.rw-$token.tmp",
         txns = parentTxns)) {

@@ -80,6 +80,28 @@ class SnapshotDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the null-predicate row must survive the delete")
   }
 
+  test("a delete touching every file of a one-segment table classifies as a rewrite") {
+    val dir = tmpDir("del_whole")
+    val log = new SnapshotLog(dir)
+    val rows = spark.range(20).select(col("id"), (col("id") % 5).as("b"))
+    rows.repartition(2).write.mode("overwrite").parquet(log.stageDataDir(0L))
+    log.commit(0L)
+    // b === 0 matches rows in both files -> both rewritten -> the parent's
+    // only segment is dropped WHOLE and survivors live in the fresh staged
+    // segment alone. Untagged (pre-round-7) this shape looked like a
+    // REPLACE: isRewriteOf false (no parent segment carried), and an
+    // expired-parent lineage backfill would have counted the survivors as
+    // new rows.
+    val del = log.deleteWhere(spark, rows.schema, col("b") === 0)
+    assert(del.contains(1L))
+    assert(log.hasRewriteSegments(1L),
+      "the fresh staged segment must carry the rw tag")
+    assert(log.isRewriteOf(1L, 0L), "a whole-table rewrite is not a replace")
+    assert(!log.isAppendOf(1L, 0L))
+    assert(idsOf(log.scan(spark, rows.schema)) ==
+      (0L until 20L).filterNot(_ % 5 == 0))
+  }
+
   test("deleteWhere with no matching row is a no-op: no commit, None returned") {
     val dir = tmpDir("del_noop")
     val log = new SnapshotLog(dir)

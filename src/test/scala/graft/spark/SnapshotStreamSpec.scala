@@ -110,6 +110,30 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     q2.stop()
   }
 
+  test("a rewrite that drops an in-window segment WHOLE still fails the tail loudly") {
+    val dir = tmpDir("stream_rw_whole")
+    val log = new SnapshotLog(dir)
+    val s0 = append(log, 0 until 10) // checkpointed offset
+    append(log, 10 until 18)         // in-window append (two files)
+    // delete three consecutive ids: the round-robin staging spreads them
+    // over BOTH of the in-window segment's files, so the rewrite drops that
+    // segment WHOLE and its survivors live only in the FRESH staged segment.
+    // Before round 7 tagged the fresh segment, this shape left no `-rw<N>`
+    // segment at all: the window guard keyed on tag names found nothing and
+    // the tail silently delivered rewrite output as appends.
+    val del = log.deleteWhere(spark, schema, col("id").between(10L, 12L))
+    assert(del.nonEmpty)
+    assert(log.hasRewriteSegments(del.get),
+      "the rewrite's fresh staged segment must carry the rw tag")
+    val e = intercept[IllegalStateException] {
+      log.streamingBatch(spark, schema, Some(s0), log.currentSnapshot().get)
+    }
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+    // ground truth intact: the batch scan serves exactly the survivors
+    assert(log.scan(spark, schema).select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == ((0L until 10L) ++ (13L until 18L)))
+  }
+
   test("startingSnapshot hands off from a batch consumer without reprocessing") {
     val dir = tmpDir("stream_from")
     val log = new SnapshotLog(dir)
@@ -326,12 +350,26 @@ class SnapshotStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val se = q.asInstanceOf[
       org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
       .streamingQuery
+    // BOUNDED-RETRY capture: under host load, lastExecution can briefly
+    // lag the processAllAvailable return (or point at an execution whose
+    // plan string is not yet the data batch's). Waiting for a plan that
+    // contains a parquet scan cannot mask a regression — a scan through
+    // the WRONG index still fails the ManifestFileIndex assert below.
+    def lastDataPlan(): String = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var p = Option(se.lastExecution).map(_.executedPlan.toString).getOrElse("")
+      while (!p.contains("Scan parquet") && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        p = Option(se.lastExecution).map(_.executedPlan.toString).getOrElse("")
+      }
+      p
+    }
     try {
       q.processAllAvailable()
-      plans += se.lastExecution.executedPlan.toString
+      plans += lastDataPlan()
       append(log, 8 until 12)
       q.processAllAvailable()
-      plans += se.lastExecution.executedPlan.toString
+      plans += lastDataPlan()
     } finally q.stop()
     // both the initial full load and the incremental tail batch must scan
     // through the manifest-fed index — zero listing/stat calls per batch
