@@ -96,13 +96,10 @@ object BenchExtra {
         })
         val (_, n) = timed("appendDeduped")(
           Pipelines.appendDeduped(spark, fresh, dd))
-        timed("writeWatermarkEquiv") { // same metadata write the pipeline does
-          val io = new graft.spark.GraftIo(dd, SnapshotLog.defaultHadoopConf())
-          io.mkdirs(new org.apache.hadoop.fs.Path(io.root, "meta"))
-          io.writeAtomic(
-            new org.apache.hadoop.fs.Path(io.root, "meta/_extract_watermark"),
-            to.get.toString)
-        }
+        // THE pipeline's own watermark write, not a copy (a hand-copied
+        // path/protocol would silently de-sync the probe from the pipeline
+        // if either changed — round-7 review)
+        timed("writeWatermark")(Pipelines.writeWatermark(dd, to.get))
         println(f"  appended=$n")
       }
       println(f"  turn total ${(System.nanoTime() - turnT0) / 1e9}%7.3f s")

@@ -88,6 +88,14 @@ object ExtractJob {
   /** Full job against a snapshot-logged table: resume, extract pending, gate,
     * commit, lineage. Returns the committed snapshot id (None = nothing pending).
     *
+    * CONTRACT: `pages` must be DETERMINISTIC — a committed-file scan or any
+    * plan whose re-evaluation yields the same rows. The bloom resume regime
+    * (round 7) evaluates it once per union branch; a row that flips sides
+    * between evaluations (sampling, a fresh nondeterministic shuffle,
+    * rand()-derived columns) would be extracted twice or never. Round 6's
+    * single anti-join merely re-planned such inputs; since round 7 they are
+    * a correctness error. (Same contract as [[Pipelines.appendDeduped]].)
+    *
     * `force = true` is the reference's `extractDocuments=true` re-extract mode
     * (claim.py:34: unconditionally re-runs extraction over ALL files,
     * overwriting the batch JSONs): the resume anti-join is skipped and the

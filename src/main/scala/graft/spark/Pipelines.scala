@@ -114,7 +114,7 @@ object Pipelines {
     if (io.exists(p)) Some(io.readString(p).trim.toLong) else None
   }
 
-  private def writeWatermark(dedupedDir: String, v: Long): Unit = {
+  private[graft] def writeWatermark(dedupedDir: String, v: Long): Unit = {
     val io = new GraftIo(dedupedDir, SnapshotLog.defaultHadoopConf())
     io.mkdirs(new org.apache.hadoop.fs.Path(io.root, "meta"))
     io.writeAtomic(wmPath(io), v.toString)
@@ -122,6 +122,14 @@ object Pipelines {
 
   /** Exact-dedup `fresh` extracted rows against the deduped table and append
     * the survivors (see [[dedupSurvivors]] for the probe's scale shape).
+    *
+    * CONTRACT: `fresh` must be DETERMINISTIC — a committed-file scan or any
+    * plan whose re-evaluation yields the same rows. The skinny probe derives
+    * winners from one evaluation (checkpoint-pinned) but re-attaches and
+    * writes survivors from a LATER evaluation; a digest that changes between
+    * them is silently dropped from (or duplicated in) the commit. Every
+    * in-tree caller hands a snapshot scan, which satisfies this by
+    * construction.
     */
   def appendDeduped(spark: SparkSession, fresh: DataFrame,
       dedupedDir: String): (Option[Long], Long) = {
@@ -241,8 +249,11 @@ object Pipelines {
     // measured re-running the full batch text scan on the anti-join's
     // evaluation — ~0.4 s/turn of duplicate work on every tick — because
     // the join's cache substitution missed; an ExistingRDD cannot miss.
-    // Blocks are reclaimed by the ContextCleaner once the probe result is
-    // dereferenced (reps.unpersist() stays a harmless no-op for callers).
+    // Blocks are released EXPLICITLY at turn end ([[releaseCheckpoint]] —
+    // Dataset.unpersist is a no-op for checkpoint blocks, and waiting for
+    // the ContextCleaner ties block lifetime to driver GC cadence on a
+    // long-running streaming driver); external probeSurvivors callers that
+    // only call reps.unpersist() still fall back to the ContextCleaner.
     val winners = withFp
       .groupBy(col("fp64"), col("fp")).agg(min(col("url")).as("url"))
       .localCheckpoint(true)
@@ -460,6 +471,24 @@ object Pipelines {
           else clusteredCommit(probe.attach(keys, probe.broadcastable), n)
         } finally keys.unpersist()
       }
-    } finally probe.reps.unpersist()
+    } finally releaseCheckpoint(probe.reps)
+  }
+
+  /** Release the winners' localCheckpoint blocks NOW. `Dataset.unpersist`
+    * consults only the CacheManager and is a NO-OP for checkpoint blocks, so
+    * without this their lifetime is tied to driver GC cadence (the
+    * ContextCleaner reclaims them only once the RDD object is collected) —
+    * a long-running streaming dedup would carry many ticks' worth of
+    * MEMORY_AND_DISK blocks between GC cycles (round-7 review). Safe only at
+    * the END of a turn: the checkpoint truncated lineage, so the frame must
+    * never be evaluated after release.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit = {
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+    df.unpersist(): Unit
   }
 }

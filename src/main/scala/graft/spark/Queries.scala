@@ -68,8 +68,8 @@ object Queries {
   private def triShinglesOf(t: org.apache.spark.sql.Column) =
     transform(sequence(lit(1), size(t) - 2), i =>
       concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))
-  private def triShingles(c: org.apache.spark.sql.Column) =
-    triShinglesOf(wsToks(c))
+  // (no one-arg triShingles(text) convenience: that shape is exactly the
+  // inline-retokenization hazard described above — bind a token column first)
   private def injectedLowerCorpus(s: SparkSession, dir: String, minToks: Int): DataFrame = {
     val base = docs(s, dir).select(col("doc_id"), lower(col("text")).as("text"))
       .filter(size(wsToks(col("text"))) >= minToks)

@@ -1479,6 +1479,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     (corpusScans(unwrap(df.queryExecution.executedPlan)).nonEmpty, shuffled.size)
   }
 
+  test("a dedup turn releases its checkpointed winner blocks (no RDD leak)") {
+    val sp = spark; import sp.implicits._
+    val dd = tmpDir("release_dd")
+    def extractedDF(lo: Int, hi: Int) =
+      spark.createDataset((lo until hi).map(i => Schemas.Extracted(
+        s"https://rel/$i", i % 8, "html",
+        Seq(s"rel text body $i"), s"rel text body $i", 10L + i, i.toLong))).toDF()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // a writing turn AND an all-duplicate turn (both probe paths)
+    assert(Pipelines.appendDeduped(spark, extractedDF(0, 50), dd)._2 == 50L)
+    assert(Pipelines.appendDeduped(spark, extractedDF(0, 50), dd)._2 == 0L)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // Dataset.unpersist is a no-op for localCheckpoint blocks; the turn must
+    // release them explicitly, not leave them to driver GC cadence
+    assert(leaked.isEmpty, s"turns leaked persistent RDD blocks: $leaked")
+  }
+
   test("inverted dedup probe: the corpus side never shuffles; fp64 stats prune files") {
     val sp = spark; import sp.implicits._
     val dd = tmpDir("probe_dd")
